@@ -1,0 +1,110 @@
+"""Text analysis functions for a training-data pipeline.
+
+The north-rule analogue of the reference's scalar normalization layer
+(SURVEY.md §2.2 P11; reference normalized numerics/dates per-row,
+/root/reference/stream_etl/core/processor.py:41-141 — we normalize
+transcript/document *text*, vectorized).
+
+Two tiers:
+
+- Column-expression functions (JVM, whole-stage codegen): token_count,
+  quality_score, lang_id, fingerprint, normalize_text_expr. These are
+  also expressible in ANSI SQL, so they sit under the DuckDB oracle.
+- ``normalize_text`` — an Arrow-vectorized pandas UDF for the one
+  genuinely non-relational step (unicode NFC normalization), per the
+  north rule's "vectorized pandas/Arrow UDFs, no per-row Python".
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.StringType())
+def normalize_text(s: pd.Series) -> pd.Series:
+    """Unicode NFC + whitespace collapse + strip, Arrow-batched.
+
+    pandas `.str` ops are vectorized; `unicodedata.normalize` is the
+    only per-value call and has no column-expression equivalent.
+    """
+    out = s.str.replace(r"\s+", " ", regex=True).str.strip()
+    return out.map(
+        lambda x: unicodedata.normalize("NFC", x) if isinstance(x, str) else x
+    )
+
+
+def normalize_text_expr(c: Column) -> Column:
+    """JVM-only normalization (whitespace collapse + trim) — the
+    SQL-expressible subset of ``normalize_text``, used where oracle
+    parity matters."""
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count; '' and null → 0."""
+    t = F.trim(F.coalesce(c, F.lit("")))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("int")
+
+
+def quality_score(c: Column) -> Column:
+    """Deterministic document-quality heuristic in [0, 1]:
+    0.5·alpha_ratio + 0.3·min(tokens/100, 1) + 0.2·space_ratio-sanity.
+    All ANSI-expressible (oracle-checkable)."""
+    t = F.coalesce(c, F.lit(""))
+    n = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_space = F.length(t) - F.length(F.regexp_replace(t, r" ", ""))
+    alpha_ratio = F.when(n > 0, n_alpha / n).otherwise(F.lit(0.0))
+    tok_term = F.least(token_count(c).cast("double") / F.lit(100.0), F.lit(1.0))
+    space_ratio = F.when(n > 0, n_space / n).otherwise(F.lit(0.0))
+    space_sane = F.lit(1.0) - F.least(F.abs(space_ratio - F.lit(0.15)) * 2, F.lit(1.0))
+    return (
+        F.lit(0.5) * alpha_ratio + F.lit(0.3) * tok_term + F.lit(0.2) * space_sane
+    ).cast("double")
+
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately small + deterministic so the identical logic is
+# expressible in the DuckDB oracle SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "you"],
+    "es": ["el", "la", "que", "de", "los"],
+    "fr": ["le", "la", "les", "est", "une"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "zh": ["的", "是", "不", "我", "了"],
+}
+
+
+def _marker_hits(c: Column, words: list[str]) -> Column:
+    t = F.lower(F.coalesce(c, F.lit("")))
+    hits = None
+    for w in words:
+        h = F.regexp_count(t, F.lit(rf"(^|\s){w}(\s|$)"))
+        hits = h if hits is None else hits + h
+    return hits
+
+
+def lang_id(c: Column) -> Column:
+    """Stopword-marker language ID: argmax of per-language marker hit
+    counts; 'und' when nothing matches. Ties break by language-code
+    order (deterministic)."""
+    scores = [(lang, _marker_hits(c, ws)) for lang, ws in sorted(LANG_MARKERS.items())]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    for lang, s in reversed(scores):
+        result = F.when((best_score > 0) & (s == best_score), F.lit(lang)).otherwise(
+            result
+        )
+    return result
+
+
+def fingerprint(c: Column) -> Column:
+    """Document fingerprint: md5 of the normalized (collapsed
+    whitespace, lower-cased) text — stable across engines, used as the
+    exact-dedup key."""
+    return F.md5(F.lower(normalize_text_expr(F.coalesce(c, F.lit("")))))

@@ -1,0 +1,297 @@
+"""Copy-on-write MERGE of a change batch into a LakeTable.
+
+Semantics (the explicit re-implementation of ClickHouse
+``ReplacingMergeTree(updated_at)`` latest-version-wins,
+/root/reference/etl/clickhouse_schema/init.sql:14,28, plus the op
+routing of /root/reference/stream_etl/core/processor.py:186-217 —
+with deletes handled properly where the reference dropped them,
+processor.py:214-217):
+
+- one winner per key is chosen from the batch by
+  ``max_by(payload, (ts, op_seq, lsn))``;
+- the winner is merged against the current row (if any) under the
+  same version order — an *older* change never overwrites a newer
+  stored row, which makes re-applying any batch idempotent
+  (exactly-once under at-least-once delivery);
+- a winning ``op='d'`` removes the row; ``c``/``r``/``u`` upsert it.
+
+Physical strategy (scale-first):
+
+- The batch is resolved against ONLY the hash buckets its keys touch;
+  every other bucket carries over into the new snapshot by reference.
+  MERGE cost ∝ |changed conversations|, not |table|.
+- Resolution is a ``unionByName`` + one hash aggregate
+  (``groupBy(key).agg(max_by(...))``) — *join-free*. Hash aggregation
+  gets map-side partial combine, so a hot key (one conversation
+  receiving millions of updates — the Zipf tail the north rule calls
+  out) is collapsed to one row per map partition before the shuffle.
+  This subsumes explicit salting; `spark_cdc.cdc.dedup` also ships a
+  salted two-phase variant, proven equivalent in tests, for engines
+  that want the salt spelled out.
+- On a real cluster the same call becomes Iceberg
+  ``MERGE INTO t USING s ON t.conv_id=s.conv_id AND
+  t.turn_idx=s.turn_idx WHEN MATCHED AND s.op='d' THEN DELETE
+  WHEN MATCHED AND (s.ts, s.op_seq) > (t._v_ts, t._v_seq) THEN UPDATE
+  SET * WHEN NOT MATCHED AND s.op<>'d' THEN INSERT *``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_cdc.lake.table import BUCKET_COL, V_DEL, V_SEQ, V_TS, LakeTable, bucket_expr
+
+ENVELOPE_COLS = ("op", "lsn", "op_seq")
+IS_SRC = "_is_src"
+
+
+@dataclass
+class MergeResult:
+    snapshot_id: int
+    skipped: bool = False
+    touched_buckets: list[int] = field(default_factory=list)
+    rows_written: int = 0
+    files_written: int = 0
+    batch_rows: int = 0
+    batch_keys: int = 0
+    min_lsn: int | None = None
+    max_lsn: int | None = None
+    wall_ms: float = 0.0
+    partition_lineage: list[dict[str, Any]] = field(default_factory=list)
+
+
+def _ord_struct(ts_col: str, seq_col: str, src_flag):
+    """Total version order: (ts, op_seq, is_src). Nulls sort lowest;
+    ties between a stored row and an incoming change of identical
+    version go to the incoming change (last-writer-wins, the
+    ReplacingMergeTree tie rule)."""
+    return F.struct(
+        F.coalesce(F.col(ts_col).cast("timestamp"), F.to_timestamp(F.lit("1900-01-01"))).alias("o_ts"),
+        F.coalesce(F.col(seq_col).cast("long"), F.lit(-1)).alias("o_seq"),
+        src_flag.cast("int").alias("o_src"),
+    )
+
+
+def merge_changes(
+    table: LakeTable,
+    changes: DataFrame,
+    batch_id: int | None = None,
+    source_id: str = "default",
+    op_col: str = "op",
+    ts_col: str = "ts",
+    seq_col: str = "op_seq",
+    lsn_col: str = "lsn",
+    delete_op: str = "d",
+    evolve_schema: bool = True,
+    collect_lineage: bool = True,
+) -> MergeResult:
+    """Apply a CDC change batch to ``table``. Returns merge stats.
+
+    Exactly-once: when ``batch_id`` is given and ≤ the last committed
+    batch id for ``source_id`` (stored in snapshot properties — the
+    Delta ``txnAppId``/``txnVersion`` idempotent-sink pattern), the
+    batch is skipped entirely: a foreachBatch retry after a successful
+    commit is a no-op.
+    """
+    t0 = time.monotonic()
+    keys = table.key_columns
+    if not keys:
+        raise ValueError("merge_changes requires a keyed table")
+
+    last = table.properties.get("last_batch_id", {}).get(source_id)
+    if batch_id is not None and last is not None and batch_id <= last:
+        return MergeResult(snapshot_id=table.snapshot_id, skipped=True)
+
+    # -- schema evolution: payload columns not yet in the table schema
+    if evolve_schema:
+        known = {f.name for f in table.schema.fields}
+        new_fields = [
+            f
+            for f in changes.schema.fields
+            if f.name not in known and f.name not in ENVELOPE_COLS
+        ]
+        if new_fields:
+            nullable = [type(f)(f.name, f.dataType, True) for f in new_fields]
+            table.add_columns(nullable)
+
+    user_cols = [f.name for f in table.user_schema.fields]
+    payload_cols = [c for c in user_cols]
+
+    # -- per-key winner within the batch (one hash agg, map-side combined)
+    src = changes
+    for c in payload_cols:
+        if c not in src.columns:
+            src = src.withColumn(c, F.lit(None).cast(dict(
+                (f.name, f.dataType) for f in table.user_schema.fields)[c]))
+    has_lsn = lsn_col in src.columns
+    src = src.withColumn(IS_SRC, F.lit(1))
+    if collect_lineage:
+        # input-partition id must be materialized pre-aggregation
+        # (nondeterministic exprs are rejected inside agg functions)
+        src = src.withColumn("_pid", F.spark_partition_id())
+    win_payload = F.struct(
+        *[F.col(c).alias(c) for c in payload_cols],
+        F.col(op_col).alias("__op"),
+        F.col(ts_col).cast("timestamp").alias(V_TS),
+        F.coalesce(F.col(seq_col).cast("long"), F.lit(-1)).alias(V_SEQ),
+    )
+    batch_ord = F.struct(
+        F.coalesce(F.col(ts_col).cast("timestamp"), F.to_timestamp(F.lit("1900-01-01"))),
+        F.coalesce(F.col(seq_col).cast("long"), F.lit(-1)),
+        (F.col(lsn_col).cast("long") if has_lsn else F.lit(0)),
+    )
+    agg_cols = [F.max_by(win_payload, batch_ord).alias("w"), F.count(F.lit(1)).alias("_n")]
+    if has_lsn:
+        agg_cols += [F.min(lsn_col).alias("_minl"), F.max(lsn_col).alias("_maxl")]
+    if collect_lineage:
+        agg_cols += [F.first("_pid").alias("_pid")]
+    winners = (
+        src.groupBy(*[F.col(k) for k in keys])
+        .agg(*agg_cols)
+        .select(
+            *keys,
+            F.col("w.__op").alias("__op"),
+            *[F.col(f"w.{c}").alias(c) for c in payload_cols if c not in keys],
+            F.col(f"w.{V_TS}").alias(V_TS),
+            F.col(f"w.{V_SEQ}").alias(V_SEQ),
+            F.col("_n"),
+            *( [F.col("_minl"), F.col("_maxl")] if has_lsn else [F.lit(None).cast("long").alias("_minl"), F.lit(None).cast("long").alias("_maxl")] ),
+            *( [F.col("_pid")] if collect_lineage else [] ),
+        )
+        .withColumn(BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets))
+    )
+    winners = winners.persist()
+    try:
+        # batch stats + touched buckets in ONE driver-side aggregation pass
+        stats_row = winners.agg(
+            F.count(F.lit(1)).alias("keys"),
+            F.sum("_n").alias("rows"),
+            F.min("_minl").alias("minl"),
+            F.max("_maxl").alias("maxl"),
+            F.collect_set(BUCKET_COL).alias("buckets"),
+        ).collect()[0]
+        batch_keys = stats_row["keys"] or 0
+        if batch_keys == 0:
+            res = MergeResult(snapshot_id=table.snapshot_id, skipped=False)
+            res.wall_ms = (time.monotonic() - t0) * 1000
+            _record_batch(table, batch_id, source_id)
+            return res
+        touched = sorted(int(b) for b in stats_row["buckets"])
+
+        lineage: list[dict[str, Any]] = []
+        if collect_lineage:
+            lineage_rows = (
+                winners.groupBy("_pid")
+                .agg(
+                    F.sum("_n").alias("rows"),
+                    F.count(F.lit(1)).alias("keys"),
+                    F.min("_minl").alias("min_lsn"),
+                    F.max("_maxl").alias("max_lsn"),
+                )
+                .collect()
+            )
+            lineage = [r.asDict() for r in lineage_rows]
+
+        # -- resolve against current content of touched buckets only
+        tgt = table.read(buckets=touched, include_hidden=True)
+        tgt = (
+            # stored tombstones keep competing as deletes so a late
+            # older insert can never resurrect a newer delete
+            tgt.withColumn(
+                "__op",
+                F.when(F.coalesce(F.col(V_DEL), F.lit(False)), F.lit(delete_op)).otherwise(F.lit("keep")),
+            )
+            .withColumn(IS_SRC, F.lit(0))
+        )
+        src_r = winners.select(
+            *user_cols, "__op", V_TS, V_SEQ, F.lit(1).alias(IS_SRC)
+        )
+        tgt_r = tgt.select(*user_cols, "__op", V_TS, V_SEQ, IS_SRC)
+        both = tgt_r.unionByName(src_r)
+        resolved_payload = F.struct(
+            *[F.col(c).alias(c) for c in user_cols if c not in keys],
+            F.col("__op").alias("__op"),
+            F.col(V_TS).alias(V_TS),
+            F.col(V_SEQ).alias(V_SEQ),
+        )
+        resolved = (
+            both.groupBy(*keys)
+            .agg(F.max_by(resolved_payload, _ord_struct(V_TS, V_SEQ, F.col(IS_SRC))).alias("w"))
+            .select(
+                *keys,
+                *[F.col(f"w.{c}").alias(c) for c in user_cols if c not in keys],
+                F.col("w.__op").alias("__op"),
+                F.col(f"w.{V_TS}").alias(V_TS),
+                F.col(f"w.{V_SEQ}").alias(V_SEQ),
+            )
+            .withColumn(V_DEL, F.col("__op") == F.lit(delete_op))
+            .drop("__op")
+            .withColumn(BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets))
+        )
+
+        props = dict(table.properties)
+        if batch_id is not None:
+            lb = dict(props.get("last_batch_id", {}))
+            lb[source_id] = batch_id
+            props["last_batch_id"] = lb
+        summary = {
+            "operation": "merge",
+            "batch_id": batch_id,
+            "source_id": source_id,
+            "batch_rows": int(stats_row["rows"] or 0),
+            "batch_keys": int(batch_keys),
+            "min_lsn": stats_row["minl"],
+            "max_lsn": stats_row["maxl"],
+            "touched_buckets": touched,
+            "partition_lineage": lineage,
+        }
+        snap_id = table.overwrite_buckets(resolved, touched, props, summary)
+
+        rows_written, files_written = _written_stats(table)
+        res = MergeResult(
+            snapshot_id=snap_id,
+            touched_buckets=touched,
+            rows_written=rows_written,
+            files_written=files_written,
+            batch_rows=int(stats_row["rows"] or 0),
+            batch_keys=int(batch_keys),
+            min_lsn=stats_row["minl"],
+            max_lsn=stats_row["maxl"],
+            partition_lineage=lineage,
+        )
+        res.wall_ms = (time.monotonic() - t0) * 1000
+        return res
+    finally:
+        winners.unpersist()
+
+
+def _record_batch(table: LakeTable, batch_id: int | None, source_id: str) -> None:
+    if batch_id is None:
+        return
+    lb = dict(table.properties.get("last_batch_id", {}))
+    lb[source_id] = batch_id
+    table.set_properties({"last_batch_id": lb})
+
+
+def _written_stats(table: LakeTable) -> tuple[int, int]:
+    """Rows/files written by the snapshot just committed, read from
+    parquet footers (no extra Spark action)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return 0, 0
+    snap_tag = f"snap{table.snapshot_id}-"
+    rows = 0
+    nfiles = 0
+    for flist in table.manifest["files"].values():
+        for rel in flist:
+            if snap_tag in rel:
+                rows += pq.ParquetFile(os.path.join(table.path, rel)).metadata.num_rows
+                nfiles += 1
+    return rows, nfiles

@@ -1,0 +1,371 @@
+"""Snapshot/manifest table format over parquet.
+
+Layout on disk::
+
+    <root>/
+      _meta/
+        snap-<id>.json     # immutable snapshot manifest
+        VERSION            # current snapshot id (atomically replaced)
+      data/
+        snap<id>/_bucket=<k>/part-*.parquet
+
+A snapshot manifest records the full table schema, the bucket spec,
+the complete file list per bucket, arbitrary properties (used by the
+CDC runner for exactly-once batch-id bookkeeping) and a summary with
+lineage metrics. Commit = write manifest, then atomically replace the
+VERSION pointer (``os.replace``); readers resolve VERSION → manifest →
+files, so they always see a consistent snapshot. Single-writer by
+design (one Structured Streaming query owns a table), matching the
+reference where one consumer thread owned the ClickHouse sink
+(/root/reference/stream_etl/core/consumer.py:111-127).
+
+Scale notes (100 TB design):
+
+- Data files are hash-bucketed on the merge key's conversation id:
+  ``pmod(xxhash64(conv_id), num_buckets)`` — the moral equivalent of
+  Iceberg ``bucket(N, conv_id)`` hidden partitioning. A merge batch
+  only reads + rewrites buckets that contain changed conversations;
+  untouched buckets carry over into the new manifest by reference,
+  so MERGE cost scales with the change set, not the table.
+- All turns of one conversation land in one bucket → per-conversation
+  operators (stitching, ordered reads) need no extra shuffle.
+- The manifest is O(#files) JSON; at real scale this becomes Iceberg
+  metadata, the API here does not change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_DIR = "_meta"
+DATA_DIR = "data"
+VERSION_FILE = "VERSION"
+BUCKET_COL = "_bucket"
+# Hidden per-row columns persisted in data files; used by the MERGE
+# resolution guard (latest (ts, op_seq) wins) and dropped from
+# user-facing reads. ``_deleted`` rows are tombstones: a delete must
+# out-version late-arriving older inserts (the reference simply
+# dropped deletes, /root/reference/stream_etl/core/processor.py:214-217
+# — we keep correct semantics; tombstones are GC'd by compaction).
+V_TS = "_v_ts"
+V_SEQ = "_v_seq"
+V_DEL = "_deleted"
+HIDDEN_COLS = (V_TS, V_SEQ, V_DEL)
+
+
+def bucket_expr(bucket_column: str, num_buckets: int):
+    """Deterministic bucket id for a key column (Iceberg-style hash bucket)."""
+    return F.pmod(F.xxhash64(F.col(bucket_column)), F.lit(num_buckets)).cast("int")
+
+
+class LakeTable:
+    """Handle to a lake table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str, manifest: dict[str, Any]):
+        self.spark = spark
+        self.path = path
+        self.manifest = manifest
+
+    # ------------------------------------------------------------- create/load
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_columns: list[str] | None = None,
+        bucket_column: str | None = None,
+        num_buckets: int = 32,
+        properties: dict[str, Any] | None = None,
+    ) -> "LakeTable":
+        if os.path.exists(os.path.join(path, META_DIR, VERSION_FILE)):
+            raise ValueError(f"table already exists at {path}")
+        os.makedirs(os.path.join(path, META_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
+        if key_columns and bucket_column is None:
+            bucket_column = key_columns[0]
+        if key_columns:
+            # keyed (mergeable) tables carry hidden per-row version
+            # columns used by the MERGE newer-wins guard
+            names = {f.name for f in schema.fields}
+            extra = [
+                T.StructField(V_TS, T.TimestampType(), True),
+                T.StructField(V_SEQ, T.LongType(), True),
+                T.StructField(V_DEL, T.BooleanType(), True),
+            ]
+            schema = T.StructType(
+                list(schema.fields) + [f for f in extra if f.name not in names]
+            )
+        manifest = {
+            "snapshot_id": 0,
+            "parent_id": None,
+            "schema": json.loads(schema.json()),
+            "key_columns": key_columns or [],
+            "bucket_column": bucket_column,
+            "num_buckets": num_buckets,
+            "files": {},
+            "properties": properties or {},
+            "summary": {"operation": "create"},
+        }
+        tbl = LakeTable(spark, path, manifest)
+        tbl._commit(manifest)
+        return tbl
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "LakeTable":
+        tbl = LakeTable(spark, path, {})
+        tbl.refresh()
+        return tbl
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(os.path.join(path, META_DIR, VERSION_FILE))
+
+    def refresh(self) -> "LakeTable":
+        with open(os.path.join(self.path, META_DIR, VERSION_FILE)) as f:
+            snap_id = int(f.read().strip())
+        self.manifest = self._read_manifest(snap_id)
+        return self
+
+    # ------------------------------------------------------------- properties
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.manifest["schema"])
+
+    @property
+    def user_schema(self) -> T.StructType:
+        return T.StructType(
+            [f for f in self.schema.fields if f.name not in HIDDEN_COLS]
+        )
+
+    @property
+    def key_columns(self) -> list[str]:
+        return list(self.manifest["key_columns"])
+
+    @property
+    def num_buckets(self) -> int:
+        return int(self.manifest["num_buckets"])
+
+    @property
+    def bucket_column(self) -> str | None:
+        return self.manifest["bucket_column"]
+
+    @property
+    def snapshot_id(self) -> int:
+        return int(self.manifest["snapshot_id"])
+
+    @property
+    def properties(self) -> dict[str, Any]:
+        return self.manifest["properties"]
+
+    def history(self) -> list[dict[str, Any]]:
+        """All snapshot manifests, oldest first (time-travel index)."""
+        out = []
+        sid: int | None = self.snapshot_id
+        while sid is not None:
+            m = self._read_manifest(sid)
+            out.append(m)
+            sid = m["parent_id"]
+        return list(reversed(out))
+
+    # ------------------------------------------------------------------ read
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        buckets: list[int] | None = None,
+        include_hidden: bool = False,
+    ) -> DataFrame:
+        """Snapshot read; optionally restricted to a bucket subset.
+
+        Files written before a schema evolution lack the added columns;
+        passing the current schema to the parquet reader null-fills
+        them (Iceberg ADD COLUMN semantics).
+        """
+        manifest = (
+            self.manifest if snapshot_id is None else self._read_manifest(snapshot_id)
+        )
+        schema = T.StructType.fromJson(manifest["schema"])
+        files: list[str] = []
+        for b, flist in manifest["files"].items():
+            if buckets is None or int(b) in buckets:
+                files.extend(os.path.join(self.path, f) for f in flist)
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*files)
+        if not include_hidden:
+            if V_DEL in df.columns:
+                df = df.filter(~F.coalesce(F.col(V_DEL), F.lit(False)))
+            df = df.drop(*[c for c in HIDDEN_COLS if c in df.columns])
+        return df
+
+    # ----------------------------------------------------------------- write
+    def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
+        """Append-only write (facts / metrics tables). Bucketed if the
+        table has a bucket spec, else lands in bucket 0."""
+        new_id = self.snapshot_id + 1
+        df = self._conform(df)
+        if self.bucket_column:
+            df = df.withColumn(
+                BUCKET_COL, bucket_expr(self.bucket_column, self.num_buckets)
+            )
+        else:
+            df = df.withColumn(BUCKET_COL, F.lit(0))
+        new_files = self._write_data(df, new_id)
+        files = {k: list(v) for k, v in self.manifest["files"].items()}
+        for b, fl in new_files.items():
+            files.setdefault(b, []).extend(fl)
+        self._commit_next(new_id, files, dict(self.properties), summary or {"operation": "append"})
+        return new_id
+
+    def overwrite_buckets(
+        self,
+        df: DataFrame,
+        touched_buckets: list[int],
+        properties: dict[str, Any] | None = None,
+        summary: dict[str, Any] | None = None,
+    ) -> int:
+        """Copy-on-write replacement of a bucket subset: ``df`` (already
+        carrying ``_bucket``) becomes the new content of
+        ``touched_buckets``; every other bucket carries over by
+        reference. This is the commit primitive under MERGE."""
+        new_id = self.snapshot_id + 1
+        new_files = self._write_data(df, new_id)
+        files = {
+            b: list(fl)
+            for b, fl in self.manifest["files"].items()
+            if int(b) not in touched_buckets
+        }
+        for b, fl in new_files.items():
+            files[b] = fl
+        self._commit_next(
+            new_id,
+            files,
+            properties if properties is not None else dict(self.properties),
+            summary or {"operation": "overwrite_buckets"},
+        )
+        return new_id
+
+    def add_columns(self, fields: list[T.StructField]) -> None:
+        """Schema evolution: ADD COLUMN (nullable, null backfill on read).
+
+        The reference had no schema evolution story at all (fixed column
+        lists, /root/reference/etl/core/pipeline.py:136-181); the north
+        rule requires it for mid-stream added columns like ``tool``.
+        """
+        schema = self.schema
+        existing = {f.name for f in schema.fields}
+        added = [f for f in fields if f.name not in existing]
+        if not added:
+            return
+        # keep hidden version columns last for readability
+        user = [f for f in schema.fields if f.name not in HIDDEN_COLS]
+        hidden = [f for f in schema.fields if f.name in HIDDEN_COLS]
+        new_schema = T.StructType(user + added + hidden)
+        new_id = self.snapshot_id + 1
+        manifest = dict(self.manifest)
+        manifest.update(
+            {
+                "snapshot_id": new_id,
+                "parent_id": self.snapshot_id,
+                "schema": json.loads(new_schema.json()),
+                "summary": {
+                    "operation": "add_columns",
+                    "columns": [f.name for f in added],
+                },
+            }
+        )
+        self._commit(manifest)
+
+    def set_properties(self, props: dict[str, Any]) -> None:
+        new_id = self.snapshot_id + 1
+        manifest = dict(self.manifest)
+        new_props = dict(self.properties)
+        new_props.update(props)
+        manifest.update(
+            {
+                "snapshot_id": new_id,
+                "parent_id": self.snapshot_id,
+                "properties": new_props,
+                "summary": {"operation": "set_properties"},
+            }
+        )
+        self._commit(manifest)
+
+    # -------------------------------------------------------------- internals
+    def _conform(self, df: DataFrame) -> DataFrame:
+        """Project df onto the table schema (missing nullable cols → null)."""
+        schema = self.schema
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            elif f.name == V_TS and "ts" in df.columns:
+                # appended base rows adopt their payload ts as version
+                cols.append(F.col("ts").cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    def _write_data(self, df: DataFrame, snapshot_id: int) -> dict[str, list[str]]:
+        """Write df (with ``_bucket``) partitioned by bucket; return
+        relative file paths per bucket."""
+        rel_dir = os.path.join(DATA_DIR, f"snap{snapshot_id}-{uuid.uuid4().hex[:8]}")
+        out_dir = os.path.join(self.path, rel_dir)
+        df.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out_dir)
+        files: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(out_dir)):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(out_dir, entry)
+            files[b] = [
+                os.path.join(rel_dir, entry, f)
+                for f in sorted(os.listdir(bdir))
+                if f.endswith(".parquet")
+            ]
+        return files
+
+    def _commit_next(
+        self,
+        new_id: int,
+        files: dict[str, list[str]],
+        properties: dict[str, Any],
+        summary: dict[str, Any],
+    ) -> None:
+        manifest = dict(self.manifest)
+        manifest.update(
+            {
+                "snapshot_id": new_id,
+                "parent_id": self.snapshot_id,
+                "files": files,
+                "properties": properties,
+                "summary": summary,
+            }
+        )
+        self._commit(manifest)
+
+    def _commit(self, manifest: dict[str, Any]) -> None:
+        snap_id = manifest["snapshot_id"]
+        snap_path = os.path.join(self.path, META_DIR, f"snap-{snap_id}.json")
+        with open(snap_path, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = os.path.join(self.path, META_DIR, f".VERSION.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(snap_id))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.path, META_DIR, VERSION_FILE))
+        self.manifest = manifest
+
+    def _read_manifest(self, snap_id: int) -> dict[str, Any]:
+        with open(os.path.join(self.path, META_DIR, f"snap-{snap_id}.json")) as f:
+            return json.load(f)

@@ -1,0 +1,76 @@
+"""LakeTable format: snapshot isolation, append, time travel, schema
+evolution (ADD COLUMN null backfill), bucket pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_cdc.cdc.envelope import PAYLOAD_SCHEMA
+from spark_cdc.lake.table import LakeTable, bucket_expr
+from spark_cdc.sources.changelog import generate_transcripts
+
+
+def test_create_append_read(spark, tmp_table_path):
+    t = LakeTable.create(
+        spark, tmp_table_path, PAYLOAD_SCHEMA, key_columns=["conv_id", "turn_idx"], num_buckets=8
+    )
+    assert t.snapshot_id == 0
+    assert t.read().count() == 0
+    df = generate_transcripts(spark, n_convs=20, turns_per_conv=4)
+    t.append(df)
+    assert t.snapshot_id == 1
+    assert t.read().count() == 80
+    # reload from disk sees the same snapshot
+    t2 = LakeTable.load(spark, tmp_table_path)
+    assert t2.snapshot_id == 1
+    assert t2.read().count() == 80
+
+
+def test_time_travel(spark, tmp_table_path):
+    t = LakeTable.create(spark, tmp_table_path, PAYLOAD_SCHEMA, key_columns=["conv_id", "turn_idx"])
+    t.append(generate_transcripts(spark, 5, 2))
+    t.append(generate_transcripts(spark, 3, 2))
+    assert t.read().count() == 16
+    assert t.read(snapshot_id=1).count() == 10
+    assert t.read(snapshot_id=0).count() == 0
+    assert [m["snapshot_id"] for m in t.history()] == [0, 1, 2]
+
+
+def test_bucket_pruning_reads_subset(spark, tmp_table_path):
+    t = LakeTable.create(
+        spark, tmp_table_path, PAYLOAD_SCHEMA, key_columns=["conv_id", "turn_idx"], num_buckets=8
+    )
+    df = generate_transcripts(spark, 50, 2)
+    t.append(df)
+    # rows in bucket b, read via pruning, equal rows filtered by the same hash
+    want = (
+        df.withColumn("_b", bucket_expr("conv_id", 8)).where(F.col("_b") == 3).drop("_b").count()
+    )
+    got = t.read(buckets=[3]).count()
+    assert got == want and got > 0
+
+
+def test_schema_evolution_null_backfill(spark, tmp_table_path):
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, tmp_table_path, schema, key_columns=["conv_id", "turn_idx"])
+    old = spark.createDataFrame(
+        [("c1", 0, "hello")], "conv_id string, turn_idx int, text string"
+    )
+    t.append(old)
+    t.add_columns([T.StructField("tool", T.StringType(), True)])
+    # old files read back with the evolved schema: tool is null
+    rows = t.read().collect()
+    assert rows[0]["tool"] is None
+    new = spark.createDataFrame(
+        [("c2", 0, "hi", "search")], "conv_id string, turn_idx int, text string, tool string"
+    )
+    t.append(new)
+    got = {r["conv_id"]: r["tool"] for r in t.read().collect()}
+    assert got == {"c1": None, "c2": "search"}
