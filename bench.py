@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Benchmark driver.
+
+Default mode: run the headline suite at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
+print ONE JSON line:
+
+    {"metric": ..., "value": <total suite sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "cdc": {...}}
+
+The suite = the CDC replay (the engine's north metric: change-events/s
+applied into the lake table) + representative operator queries.
+
+``--replay-only --cores N`` runs just the CDC replay on ``local[N]``
+and prints its JSON — used by bench_scaling.py to evidence the
+N→4N scaling-efficiency criterion with two separate JVMs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_cdc.cdc.apply import apply_batch  # noqa: E402
+from spark_cdc.cdc.envelope import KEY_COLUMNS, PAYLOAD_SCHEMA  # noqa: E402
+from spark_cdc.lake.table import LakeTable  # noqa: E402
+from spark_cdc.session import get_spark  # noqa: E402
+from spark_cdc.sources.changelog import generate_change_log  # noqa: E402
+
+# events per unit scale factor: sf0.1 → 2M change events
+EVENTS_PER_SF = 20_000_000
+CONVS_PER_SF = 200_000
+N_BATCHES = 8
+
+BENCH_QUERIES = [
+    "tpch_q1_pricing_summary",
+    "w1_latest_event_per_user_type",
+    "kpi_user_ctr",
+    "kpi_user_daily_performance",
+    "j6_region_rollup",
+    "j1_orders_customer_segment",
+    "cdc_replay_final_state",
+    "text_quality_score",
+    "text_lang_id",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def changelog_path(sf: float, n_events: int) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_cdc_bench_log_sf{sf}_{n_events}"
+    )
+
+
+def ensure_changelog(spark, sf: float, n_events: int, n_convs: int) -> str:
+    """Materialize the deterministic change log once per (sf, size);
+    generation is not part of the timed replay."""
+    path = changelog_path(sf, n_events)
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
+        shutil.rmtree(path, ignore_errors=True)
+        log = generate_change_log(
+            spark, n_events=n_events, n_convs=n_convs, seed=42, partitions=64
+        )
+        log.write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_replay(spark, sf: float, n_events: int, n_convs: int) -> dict:
+    """Timed: full replay of the change log in N_BATCHES lsn-ordered
+    micro-batches into a fresh lake table (dedup → salted bucketed
+    MERGE → snapshot commit each batch)."""
+    from pyspark.sql import functions as F
+
+    src = ensure_changelog(spark, sf, n_events, n_convs)
+    log = spark.read.parquet(src)
+    workdir = tempfile.mkdtemp(prefix="spark_cdc_bench_tbl_")
+    table = LakeTable.create(
+        spark,
+        os.path.join(workdir, "transcripts"),
+        PAYLOAD_SCHEMA,
+        key_columns=KEY_COLUMNS,
+        num_buckets=64,
+    )
+    step = n_events // N_BATCHES
+    t0 = time.monotonic()
+    applied = 0
+    for i in range(N_BATCHES):
+        lo, hi = i * step, (i + 1) * step if i < N_BATCHES - 1 else n_events
+        batch = log.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+        res = apply_batch(table, batch, batch_id=i, collect_lineage=False)
+        applied += res.batch_rows
+    elapsed = time.monotonic() - t0
+    final_rows = table.read().count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "events": applied,
+        "batches": N_BATCHES,
+        "elapsed_sec": round(elapsed, 3),
+        "events_per_sec": round(applied / elapsed, 1),
+        "final_rows": final_rows,
+    }
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from spark_cdc.plans import QUERIES
+
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        QUERIES[name](spark, sf_dir).collect()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replay-only", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--events", type=int, default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_of(sf_dir)
+    cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = args.events or max(int(EVENTS_PER_SF * sf), 50_000)
+    n_convs = max(int(CONVS_PER_SF * sf), 500)
+
+    spark = get_spark(
+        master=f"local[{cores}]",
+        app_name="spark_cdc_bench",
+        shuffle_partitions=max(cores, 8),
+    )
+
+    cdc = run_replay(spark, sf, n_events, n_convs)
+    if args.replay_only:
+        print(json.dumps({"cores": cores, "sf": sf, "cdc": cdc}))
+        return
+
+    queries = run_queries(spark, sf_dir)
+    total = round(cdc["elapsed_sec"] + sum(queries.values()), 3)
+    result = {
+        "metric": "cdc_replay_plus_query_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {"cdc_replay": cdc["elapsed_sec"], **queries},
+        "sf": sf,
+        "cores": cores,
+        "cdc": cdc,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

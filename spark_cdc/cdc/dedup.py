@@ -74,6 +74,47 @@ def latest_version_per_key_agg(
     )
 
 
+def latest_version_per_key_max(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: tuple[str, ...] = DEFAULT_ORDER,
+) -> DataFrame:
+    """``max(struct(ord..., payload))`` variant.
+
+    ``max`` is a DeclarativeAggregate, so this compiles to a true
+    HashAggregate (vs ``max_by``'s SortAggregate) while keeping the
+    partial map-side combine. Order columns are null-coalesced and
+    lead the struct; payload fields only break exact version ties
+    (identical events → identical rows, so the tie choice is moot).
+    """
+    payload = [c for c in df.columns if c not in keys]
+    ordc = [c for c in order_cols if c in df.columns]
+    packed = F.struct(
+        *[
+            F.coalesce(F.col(c), _floor_lit(df, c)).alias(f"o{i}")
+            for i, c in enumerate(ordc)
+        ],
+        *[F.col(c).alias(c) for c in payload],
+    )
+    return (
+        df.groupBy(*keys)
+        .agg(F.max(packed).alias("_w"))
+        .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in payload])
+    )
+
+
+def _floor_lit(df: DataFrame, col_name: str):
+    """Smallest sentinel for a column's type (nulls must lose)."""
+    dt = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[col_name]
+    if dt.startswith("timestamp"):
+        return F.to_timestamp(F.lit("1900-01-01"))
+    if dt in ("bigint", "int", "smallint", "tinyint"):
+        return F.lit(-(2**62)).cast(dt)
+    if dt in ("double", "float"):
+        return F.lit(float("-1e300")).cast(dt)
+    return F.lit("").cast(dt)
+
+
 def latest_version_per_key_salted(
     df: DataFrame,
     keys: list[str],

@@ -168,35 +168,40 @@ def merge_changes(
     )
     winners = winners.persist()
     try:
-        # batch stats + touched buckets in ONE driver-side aggregation pass
-        stats_row = winners.agg(
-            F.count(F.lit(1)).alias("keys"),
-            F.sum("_n").alias("rows"),
-            F.min("_minl").alias("minl"),
-            F.max("_maxl").alias("maxl"),
-            F.collect_set(BUCKET_COL).alias("buckets"),
-        ).collect()[0]
-        batch_keys = stats_row["keys"] or 0
+        # batch stats + per-partition lineage + touched buckets in ONE
+        # driver-side aggregation pass
+        group = [F.col("_pid")] if collect_lineage else [F.lit(0).alias("_pid")]
+        stat_rows = (
+            winners.groupBy(*group)
+            .agg(
+                F.sum("_n").alias("rows"),
+                F.count(F.lit(1)).alias("keys"),
+                F.min("_minl").alias("min_lsn"),
+                F.max("_maxl").alias("max_lsn"),
+                F.collect_set(BUCKET_COL).alias("buckets"),
+            )
+            .collect()
+        )
+        batch_keys = sum(r["keys"] for r in stat_rows)
         if batch_keys == 0:
             res = MergeResult(snapshot_id=table.snapshot_id, skipped=False)
             res.wall_ms = (time.monotonic() - t0) * 1000
             _record_batch(table, batch_id, source_id)
             return res
-        touched = sorted(int(b) for b in stats_row["buckets"])
-
-        lineage: list[dict[str, Any]] = []
-        if collect_lineage:
-            lineage_rows = (
-                winners.groupBy("_pid")
-                .agg(
-                    F.sum("_n").alias("rows"),
-                    F.count(F.lit(1)).alias("keys"),
-                    F.min("_minl").alias("min_lsn"),
-                    F.max("_maxl").alias("max_lsn"),
-                )
-                .collect()
-            )
-            lineage = [r.asDict() for r in lineage_rows]
+        batch_rows = sum(r["rows"] or 0 for r in stat_rows)
+        lsns = [r["min_lsn"] for r in stat_rows if r["min_lsn"] is not None]
+        min_lsn = min(lsns) if lsns else None
+        lsns = [r["max_lsn"] for r in stat_rows if r["max_lsn"] is not None]
+        max_lsn = max(lsns) if lsns else None
+        touched = sorted({int(b) for r in stat_rows for b in r["buckets"]})
+        lineage: list[dict[str, Any]] = (
+            [
+                {k: r[k] for k in ("_pid", "rows", "keys", "min_lsn", "max_lsn")}
+                for r in stat_rows
+            ]
+            if collect_lineage
+            else []
+        )
 
         # -- resolve against current content of touched buckets only
         tgt = table.read(buckets=touched, include_hidden=True)
@@ -233,6 +238,10 @@ def merge_changes(
             .withColumn(V_DEL, F.col("__op") == F.lit(delete_op))
             .drop("__op")
             .withColumn(BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets))
+            # align write tasks with buckets: without this, partitionBy
+            # writes one file per (task × bucket) — a tiny-file explosion
+            # that compounds across micro-batches
+            .repartition(max(len(touched), 1), F.col(BUCKET_COL))
         )
 
         props = dict(table.properties)
@@ -244,10 +253,10 @@ def merge_changes(
             "operation": "merge",
             "batch_id": batch_id,
             "source_id": source_id,
-            "batch_rows": int(stats_row["rows"] or 0),
+            "batch_rows": int(batch_rows),
             "batch_keys": int(batch_keys),
-            "min_lsn": stats_row["minl"],
-            "max_lsn": stats_row["maxl"],
+            "min_lsn": min_lsn,
+            "max_lsn": max_lsn,
             "touched_buckets": touched,
             "partition_lineage": lineage,
         }
@@ -259,10 +268,10 @@ def merge_changes(
             touched_buckets=touched,
             rows_written=rows_written,
             files_written=files_written,
-            batch_rows=int(stats_row["rows"] or 0),
+            batch_rows=int(batch_rows),
             batch_keys=int(batch_keys),
-            min_lsn=stats_row["minl"],
-            max_lsn=stats_row["maxl"],
+            min_lsn=min_lsn,
+            max_lsn=max_lsn,
             partition_lineage=lineage,
         )
         res.wall_ms = (time.monotonic() - t0) * 1000

@@ -1,0 +1,280 @@
+"""Deduplication family for training-data pipelines.
+
+All candidate-generation stages are JVM column expressions (shingles
+via ``sequence``+``transform``, MinHash via ``aggregate`` over
+``xxhash64``); only SimHash uses a vectorized pandas UDF (bitwise
+majority vote has no clean column-expression form). The LSH shapes
+are the standard shingle→minhash→band→bucket-join pipeline:
+candidates come from an equi-join on (band_id, band_hash) — a plain
+shuffle join Catalyst can plan — never an all-pairs cross product,
+so the cost at 100 TB is bounded by bucket collision counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_cdc.functions.text import fingerprint, normalize_text_expr
+
+
+# --------------------------------------------------------------- exact
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact (normalized) duplicate groups: md5-fingerprint hash-groupBy.
+    Returns one row per duplicate group with member ids and count."""
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ----------------------------------------------------------- shingles
+def char_shingles(c, k: int = 5):
+    """Character k-shingles of the lower-cased normalized text as an
+    array column — ``sequence`` + ``transform``, fully JVM-side."""
+    t = F.lower(normalize_text_expr(c))
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
+
+
+def word_ngrams(c, n: int = 3):
+    toks = F.split(F.lower(normalize_text_expr(c)), r"\s+")
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), cnt - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+# ------------------------------------------------------------ minhash
+MERSENNE_P = (1 << 31) - 1  # 2^31-1, prime
+
+
+def _affine_params(num_hashes: int, seed: int = 7):
+    """Deterministic (a, b) pairs for h' = (a·h + b) mod p — the
+    classic universal-hash MinHash permutation family."""
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (MERSENNE_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def shingle_hashes(shingles):
+    """Hash each shingle once: xxhash64 folded into [0, 2^31-1)."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
+
+
+def minhash_signature(hashed, num_hashes: int = 32):
+    """MinHash signature via universal affine permutations over a
+    PRE-HASHED shingle array (materialize :func:`shingle_hashes` in
+    its own projection first so it is evaluated once per row).
+
+    Each permutation is a cheap ``min((a·h + b) mod p)`` —
+    O(shingles + shingles·perms·{mul,add}) instead of re-running the
+    string hash per permutation. All JVM expressions; arithmetic stays
+    below 2^62 so ANSI overflow checking never trips."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(hashed, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P))
+            )
+            for a, b in _affine_params(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    rows/band = num_hashes/bands; two docs are candidates if any band
+    of their signatures collides. Returns distinct (id_a, id_b) with
+    id_a < id_b.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        shingle_hashes(char_shingles(F.col(text_col), shingle_k)).alias("hb"),
+    ).select("_id", minhash_signature(F.col("hb"), num_hashes).alias("sig"))
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bucket"])
+        .where(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact word-n-gram Jaccard
+    similarity; keeps pairs ≥ threshold. Join-then-array-intersect,
+    no UDF."""
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
+    )
+    return (
+        candidates.join(grams.withColumnRenamed("_id", "id_a").withColumnRenamed("grams", "ga"), "id_a")
+        .join(grams.withColumnRenamed("_id", "id_b").withColumnRenamed("grams", "gb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.try_divide(
+                F.size(F.array_intersect("ga", "gb")).cast("double"),
+                F.size(F.array_union("ga", "gb")).cast("double"),
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ simhash
+@F.pandas_udf(T.LongType())
+def _simhash64(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash from token lists, numpy-vectorized per Arrow batch."""
+    out = np.zeros(len(tokens), dtype=np.int64)
+    for i, toks in enumerate(tokens):
+        if toks is None or len(toks) == 0:
+            continue
+        hs = np.array([hash(t) & 0xFFFFFFFFFFFFFFFF for t in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(hs)
+        sig = 0
+        for b in np.nonzero(votes > 0)[0]:
+            sig |= 1 << int(b)
+        if sig >= 1 << 63:  # two's-complement into signed 64-bit
+            sig -= 1 << 64
+        out[i] = sig
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc 64-bit SimHash over word tokens.
+
+    Note: Python's ``hash`` for str is seeded per-process; for
+    cross-run determinism set PYTHONHASHSEED (the Spark session does
+    this for workers) — grouping behavior within one job is what
+    matters for dedup.
+    """
+    toks = F.split(F.lower(normalize_text_expr(F.col(text_col))), r"\s+")
+    return df.select(F.col(id_col), _simhash64(toks).alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 16-bit bands (any match →
+    candidate; Hamming ≤ 3 guarantees ≥1 identical band), then filter
+    by exact Hamming distance via ``bit_count(xor)``."""
+    sh = simhash(df, id_col, text_col)
+    banded = sh.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "simhash", "bb.band", "bb.bucket")
+    return (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bucket"])
+        .where(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------- embedding near-duplicates
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold.
+
+    Brute-force all-pairs form (correctness baseline / oracle-checked);
+    at scale, route candidates through :func:`spark_cdc.operators.ann.
+    hyperplane_lsh_buckets` first and verify only collisions.
+    """
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    pairs = (
+        v.alias("l")
+        .join(v.alias("r"), F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.try_divide(
+                F.aggregate(
+                    F.zip_with(F.col("l.v"), F.col("r.v"), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                F.col("l.norm") * F.col("r.norm"),
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return pairs

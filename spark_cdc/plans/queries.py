@@ -1,0 +1,759 @@
+"""Driver-contract query registry (SURVEY.md §2 coverage).
+
+Each entry: ``QUERIES[name] = fn(spark, sf_dir) -> DataFrame`` with an
+optional ``ORACLES[name]`` DuckDB SQL string over the same tables.
+Conventions shared by both sides so the driver's order-insensitive
+value hash matches:
+
+- every computed column is aliased identically;
+- ratio/cosine doubles are rounded to 6 decimals, money sums to 2;
+- counts are BIGINT (DuckDB ``sum(int)`` → HUGEINT is cast);
+- division by zero is pinned to NULL (`try_divide` / CASE WHEN).
+
+The events table plays the facts role the reference's impressions/
+clicks tables played (event_type 'view' ↔ impression, 'click' ↔
+click), so the five KPI views of
+/root/reference/etl/clickhouse_schema/kpi_views.sql are reproduced
+shape-for-shape over it (kpi_* entries below); the adtech-schema
+originals are additionally covered by pytest against a DuckDB oracle
+(tests/test_kpi.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_cdc.cdc.apply import replay_changes_df
+from spark_cdc.cdc.dedup import latest_version_per_key_agg
+from spark_cdc.functions.parsers import parse_numeric_tolerant, parse_timestamp_any
+from spark_cdc.functions.text import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from spark_cdc.operators import ann, dedup_ops, multimodal
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def build(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return QUERIES[name](spark, sf_dir)
+
+
+# =====================================================================
+# Flagship + scans/filters/projections (SURVEY §2.1-2.2)
+# =====================================================================
+
+@query(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(avg(l_quantity), 6)                                   AS avg_qty,
+           round(avg(l_extendedprice), 6)                              AS avg_price,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    """A7 multi-key groupBy + A3 sums + W2 sort (flagship)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "s1_incremental_scan",
+    """
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def s1_incremental_scan(spark, sf_dir):
+    """S1/P2: high-watermark predicate scan (reference
+    etl/core/pipeline.py:17-33); filter pushed to parquet by Catalyst."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("ts") > F.lit("2024-01-20 00:00:00").cast("timestamp")).select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+@query(
+    "p4_derive_event_date",
+    """
+    SELECT event_id, CAST(ts AS DATE) AS event_date
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def p4_event_date(spark, sf_dir):
+    """P4: event_date derivation (reference pipeline.py:94-95)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("event_type") == "click").select(
+        "event_id", F.to_date("ts").alias("event_date")
+    )
+
+
+@query(
+    "p6_tolerant_numeric",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k_value,
+           CAST(regexp_replace('$' || CAST(event_id AS VARCHAR) || '.50', '[^0-9.\\-]', '', 'g') AS DOUBLE) AS parsed_amount
+    FROM events WHERE event_id < 500
+    """,
+)
+def p6_tolerant_numeric(spark, sf_dir):
+    """P6/P10: tolerant numeric parsing as column expressions
+    (reference processor.py:41-68 '$3.99' cases)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    messy = F.concat(F.lit("$"), F.col("event_id").cast("string"), F.lit(".50"))
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r"[0-9]+", 0).cast("long").alias("k_value"),
+        parse_numeric_tolerant(messy).alias("parsed_amount"),
+    )
+
+
+@query(
+    "p7_polymorphic_timestamp",
+    """
+    SELECT event_id, date_trunc('second', ts) AS parsed_ts
+    FROM events WHERE event_id < 1000
+    """,
+)
+def p7_poly_ts(spark, sf_dir):
+    """P7: epoch-magnitude timestamp parsing (processor.py:70-141):
+    round-trips epoch micros / millis / seconds strings back to ts.
+    The oracle is the identity — the parse must reconstruct ts
+    (seconds-granularity events make all three encodings lossless)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    # rotate encodings by row so all magnitude branches execute
+    enc = (
+        F.when(F.pmod("event_id", F.lit(3)) == 0, F.unix_micros("ts").cast("string"))
+        .when(F.pmod("event_id", F.lit(3)) == 1, F.unix_millis("ts").cast("string"))
+        .otherwise(F.unix_seconds("ts").cast("string"))
+    )
+    # truncate ts to seconds so every encoding is exact
+    ev = ev.withColumn("ts", F.date_trunc("second", "ts"))
+    return ev.select("event_id", parse_timestamp_any(enc).alias("parsed_ts"))
+
+
+# =====================================================================
+# Joins (SURVEY §2.3)
+# =====================================================================
+
+@query(
+    "j1_orders_customer_segment",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def j1_broadcast_join(spark, sf_dir):
+    """J1: fact ⋈ small dim — broadcast hash join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "j2_left_join_order_counts",
+    """
+    SELECT c.c_custkey AS c_custkey, count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def j2_left_join(spark, sf_dir):
+    """J2/J3: left outer join keeping zero-order customers."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "j_semi_customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "j_anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j_anti(spark, sf_dir):
+    """Anti join — also the engine's MERGE-idempotence test shape."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "j6_region_rollup",
+    """
+    SELECT r.r_name AS region,
+           count(DISTINCT c.c_custkey) AS customer_count,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def j6_chain(spark, sf_dir):
+    """J6: 3-level join chain (kpi_views.sql:124-127 shape); dims
+    broadcast, Catalyst/AQE pick the physical order."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        F.broadcast(r)
+        .join(F.broadcast(n), n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey, "left")
+        .join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.countDistinct("c_custkey").alias("customer_count"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("revenue"),
+        )
+    )
+
+
+# =====================================================================
+# Aggregations (SURVEY §2.4) + KPI views (§2.6) over events
+# =====================================================================
+
+@query(
+    "a1_distinct_users_per_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS distinct_users,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def a1_count_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "kpi_user_ctr",
+    """
+    WITH imp AS (SELECT user_id, count(DISTINCT event_id) AS impressions
+                 FROM events WHERE event_type = 'view' GROUP BY 1),
+         clk AS (SELECT user_id, count(DISTINCT event_id) AS clicks
+                 FROM events WHERE event_type = 'click' GROUP BY 1),
+         u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id AS user_id,
+           coalesce(imp.impressions, 0) AS impressions,
+           coalesce(clk.clicks, 0) AS clicks,
+           round(CASE WHEN coalesce(imp.impressions, 0) = 0 THEN NULL
+                 ELSE coalesce(clk.clicks, 0)::DOUBLE / imp.impressions END, 6) AS ctr
+    FROM u LEFT JOIN imp USING (user_id) LEFT JOIN clk USING (user_id)
+    """,
+)
+def kpi_user_ctr(spark, sf_dir):
+    """mv_campaign_ctr shape (kpi_views.sql:4-27) over events:
+    agg-then-join, ratio from summed counts, try_divide null semantics."""
+    ev = _t(spark, sf_dir, "events")
+    imp = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.countDistinct("event_id").alias("impressions")
+    )
+    clk = ev.where(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.countDistinct("event_id").alias("clicks")
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(imp, "user_id", "left")
+        .join(clk, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("impressions", F.lit(0)).alias("impressions"),
+            F.coalesce("clicks", F.lit(0)).alias("clicks"),
+            F.round(
+                F.try_divide(F.coalesce("clicks", F.lit(0)), F.coalesce("impressions", F.lit(0))), 6
+            ).alias("ctr"),
+        )
+    )
+
+
+@query(
+    "kpi_daily_performance",
+    """
+    WITH imp AS (SELECT CAST(ts AS DATE) AS event_date, count(DISTINCT event_id) AS impressions
+                 FROM events WHERE event_type = 'view' GROUP BY 1),
+         clk AS (SELECT CAST(ts AS DATE) AS event_date, count(DISTINCT event_id) AS clicks
+                 FROM events WHERE event_type = 'click' GROUP BY 1)
+    SELECT imp.event_date AS event_date, imp.impressions AS impressions,
+           coalesce(clk.clicks, 0) AS clicks,
+           round(coalesce(clk.clicks, 0)::DOUBLE / imp.impressions, 6) AS daily_ctr
+    FROM imp LEFT JOIN clk USING (event_date)
+    """,
+)
+def kpi_daily(spark, sf_dir):
+    """mv_daily_performance (kpi_views.sql:30-47) over events — without
+    the reference's date-only join explosion (SURVEY §4 trap 2)."""
+    ev = _t(spark, sf_dir, "events")
+    imp = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.countDistinct("event_id").alias("impressions"))
+    )
+    clk = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.countDistinct("event_id").alias("clicks"))
+    )
+    return imp.join(clk, "event_date", "left").select(
+        "event_date",
+        "impressions",
+        F.coalesce("clicks", F.lit(0)).alias("clicks"),
+        F.round(F.try_divide(F.coalesce("clicks", F.lit(0)), "impressions"), 6).alias("daily_ctr"),
+    )
+
+
+@query(
+    "kpi_user_daily_performance",
+    """
+    WITH imp AS (SELECT user_id, CAST(ts AS DATE) AS event_date,
+                        count(DISTINCT event_id) AS impressions
+                 FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         clk AS (SELECT user_id, CAST(ts AS DATE) AS event_date,
+                        count(DISTINCT event_id) AS clicks
+                 FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT imp.user_id AS user_id, imp.event_date AS event_date,
+           imp.impressions AS impressions, coalesce(clk.clicks, 0) AS clicks,
+           round(coalesce(clk.clicks, 0)::DOUBLE / imp.impressions, 6) AS ctr
+    FROM imp LEFT JOIN clk USING (user_id, event_date)
+    """,
+)
+def kpi_user_daily(spark, sf_dir):
+    """mv_campaign_daily_performance (kpi_views.sql:50-75) + J5 two-key
+    left join."""
+    ev = _t(spark, sf_dir, "events")
+    imp = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.to_date("ts").alias("event_date"))
+        .agg(F.countDistinct("event_id").alias("impressions"))
+    )
+    clk = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.to_date("ts").alias("event_date"))
+        .agg(F.countDistinct("event_id").alias("clicks"))
+    )
+    return imp.join(clk, ["user_id", "event_date"], "left").select(
+        "user_id",
+        "event_date",
+        "impressions",
+        F.coalesce("clicks", F.lit(0)).alias("clicks"),
+        F.round(F.try_divide(F.coalesce("clicks", F.lit(0)), "impressions"), 6).alias("ctr"),
+    )
+
+
+@query(
+    "kpi_user_efficiency",
+    """
+    WITH s AS (
+      SELECT user_id,
+             count(DISTINCT CASE WHEN event_type = 'view' THEN event_id END) AS impressions,
+             count(DISTINCT CASE WHEN event_type = 'click' THEN event_id END) AS clicks,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS spend
+      FROM events GROUP BY 1)
+    SELECT user_id, impressions, clicks, round(spend, 2) AS spend,
+           round(CASE WHEN clicks = 0 THEN NULL ELSE spend / clicks END, 6) AS cost_per_click
+    FROM s
+    """,
+)
+def kpi_efficiency(spark, sf_dir):
+    """mv_campaign_efficiency (kpi_views.sql:78-100): guarded division
+    A6 via NULLIF/try_divide."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.countDistinct(F.when(F.col("event_type") == "view", F.col("event_id"))).alias("impressions"),
+        F.countDistinct(F.when(F.col("event_type") == "click", F.col("event_id"))).alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0))).alias("_spend"),
+    )
+    return s.select(
+        "user_id",
+        "impressions",
+        "clicks",
+        F.round("_spend", 2).alias("spend"),
+        F.round(F.try_divide(F.col("_spend"), F.nullif(F.col("clicks"), F.lit(0))), 6).alias("cost_per_click"),
+    )
+
+
+@query(
+    "kpi_nation_performance",
+    """
+    WITH per_cust AS (
+      SELECT c.c_nationkey, c.c_custkey, c.c_acctbal,
+             count(o.o_orderkey) AS n_orders,
+             coalesce(sum(o.o_totalprice), 0) AS revenue
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3)
+    SELECT n.n_name AS nation,
+           count(p.c_custkey) AS customer_count,
+           round(coalesce(sum(p.c_acctbal), 0), 2) AS total_acctbal,
+           CAST(coalesce(sum(p.n_orders), 0) AS BIGINT) AS n_orders,
+           round(coalesce(sum(p.revenue), 0), 2) AS revenue
+    FROM nation n LEFT JOIN per_cust p ON p.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def kpi_nation(spark, sf_dir):
+    """mv_advertiser_performance (kpi_views.sql:103-128) shape:
+    dim with zero children kept via left joins, aggregates-of-aggregates."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_nationkey", "c_custkey", "c_acctbal")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("revenue"),
+        )
+    )
+    return (
+        F.broadcast(n)
+        .join(per_cust, per_cust.c_nationkey == n.n_nationkey, "left")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("c_custkey").alias("customer_count"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias("total_acctbal"),
+            F.coalesce(F.sum("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+            F.round(F.coalesce(F.sum("revenue"), F.lit(0.0)), 2).alias("revenue"),
+        )
+    )
+
+
+# =====================================================================
+# Windows / sorts / dedup / CDC (SURVEY §2.5, §2.7)
+# =====================================================================
+
+@query(
+    "w1_latest_event_per_user_type",
+    """
+    SELECT user_id, event_type, event_id, ts, round(value, 6) AS value
+    FROM (
+      SELECT *, row_number() OVER (
+          PARTITION BY user_id, event_type
+          ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def w1_latest(spark, sf_dir):
+    """W1: latest-version-per-key — the engine's dedup core
+    (ReplacingMergeTree semantics, init.sql:14,28) via the skew-proof
+    max_by aggregate; oracle uses the window form."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", F.round("value", 6).alias("value")
+    )
+    return latest_version_per_key_agg(ev, ["user_id", "event_type"], ("ts", "event_id"))
+
+
+@query(
+    "w2_global_sort_limit",
+    """
+    SELECT event_id, user_id, round(value, 6) AS value
+    FROM events ORDER BY value DESC, event_id LIMIT 100
+    """,
+)
+def w2_sort(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "user_id", F.round("value", 6).alias("value"))
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(100)
+    )
+
+
+@query(
+    "w3_top3_orders_per_customer",
+    """
+    SELECT o_custkey, rank, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders) WHERE rank <= 3
+    """,
+)
+def w3_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "rank", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@query(
+    "cdc_replay_final_state",
+    """
+    SELECT conv_id, turn_idx, text, ts
+    FROM (
+      SELECT concat('u', user_id) AS conv_id,
+             CAST(event_id % 20 AS INTEGER) AS turn_idx,
+             event_type AS text, ts,
+             CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END AS op,
+             event_id AS op_seq, event_id AS lsn,
+             row_number() OVER (
+               PARTITION BY concat('u', user_id), CAST(event_id % 20 AS INTEGER)
+               ORDER BY ts DESC, event_id DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def cdc_replay(spark, sf_dir):
+    """C1+W1+J7: the CDC engine core under the driver's correctness
+    gate — a change log derived from events is replayed to final state
+    (dedup by (ts, op_seq, lsn), deletes drop keys)."""
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("event_id").alias("op_seq"),
+        F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("c")).alias("op"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        F.pmod("event_id", F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("text"),
+        F.col("ts"),
+    )
+    return replay_changes_df(log, ["conv_id", "turn_idx"]).select(
+        "conv_id", "turn_idx", "text", "ts"
+    )
+
+
+# =====================================================================
+# Text analysis / dedup family / ANN (training-data operators)
+# =====================================================================
+
+@query(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+      round(
+        0.5 * (CASE WHEN length(text) > 0
+               THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+               ELSE 0 END)
+      + 0.3 * least(len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE / 100.0, 1.0)
+      + 0.2 * (1.0 - least(abs((CASE WHEN length(text) > 0
+               THEN (length(text) - length(replace(text, ' ', '')))::DOUBLE / length(text)
+               ELSE 0 END) - 0.15) * 2, 1.0)), 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+
+
+def _lang_oracle() -> str:
+    score_exprs = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        terms = " + ".join(
+            f"len(regexp_extract_all(lower(coalesce(text, '')), '(^|\\s){w}(\\s|$)'))"
+            for w in words
+        )
+        score_exprs.append(f"({terms}) AS s_{lang}")
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    return f"""
+    SELECT doc_id, {case} AS lang_pred
+    FROM (SELECT doc_id, text, {', '.join(score_exprs)} FROM documents)
+    """
+
+
+@query("text_lang_id", _lang_oracle())
+def text_lang(spark, sf_dir):
+    """Stopword-marker language ID; identical marker lexicon on the
+    oracle side (first matching language in sorted order wins)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def text_fp(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "dedup_exact_groups",
+    """
+    SELECT fp, n_docs, keep_id FROM (
+      SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             count(*) AS n_docs, min(doc_id) AS keep_id
+      FROM documents GROUP BY 1)
+    WHERE n_docs > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.exact_duplicates(d).select("fp", "n_docs", "keep_id")
+
+
+@query("dedup_minhash_lsh")  # no SQL oracle: banded-LSH not ANSI-expressible
+def dedup_minhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    cand = dedup_ops.minhash_lsh_candidates(d, num_hashes=16, bands=4)
+    return dedup_ops.ngram_jaccard_pairs(d, cand, n=3, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@query("dedup_simhash")  # no SQL oracle: pandas-UDF bit-majority
+def dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.simhash_near_duplicates(d, max_hamming=8)
+
+
+@query(
+    "embedding_near_duplicates",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 200 AND b.vec_id < 200
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+    """,
+)
+def embedding_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    pairs = dedup_ops.embedding_near_duplicates(emb, threshold=0.9)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@query(
+    "ann_cosine_topk",
+    """
+    SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+             list_cosine_similarity(v.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(v.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                                         v.vec_id) AS rank
+      FROM embeddings v, embeddings q
+      WHERE q.vec_id < 5 AND v.vec_id <> q.vec_id)
+    WHERE rank <= 5
+    """,
+)
+def ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    res = ann.cosine_topk(emb, queries, k=5)
+    return res.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@query("ann_topk_lsh")  # no SQL oracle: approximate by construction
+def ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ann.ann_topk_lsh(emb, queries, dim=64, k=5, bits=5, tables=8)
+
+
+@query("multimodal_features")  # no SQL oracle: mapInPandas plumbing
+def multimodal_features(spark, sf_dir):
+    media = multimodal.generate_media_fixture(spark, n=200)
+    return multimodal.extract_features(media).drop("features")

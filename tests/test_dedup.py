@@ -9,6 +9,7 @@ import duckdb
 from spark_cdc.cdc.dedup import (
     latest_version_per_key,
     latest_version_per_key_agg,
+    latest_version_per_key_max,
     latest_version_per_key_salted,
 )
 from spark_cdc.sources.changelog import generate_change_log
@@ -22,8 +23,10 @@ def test_dedup_strategies_agree(spark):
     w = latest_version_per_key(log, KEYS)
     a = latest_version_per_key_agg(log, KEYS)
     s = latest_version_per_key_salted(log, KEYS, salt_buckets=4)
+    m = latest_version_per_key_max(log, KEYS)
     assert_df_equal(w, a, KEYS)
     assert_df_equal(w, s, KEYS)
+    assert_df_equal(w, m.select(*w.columns), KEYS)
     # one row per key
     assert a.count() == a.select(*KEYS).distinct().count()
 
@@ -73,6 +76,11 @@ def test_ts_tie_broken_by_op_seq(spark):
     df = spark.createDataFrame(
         rows, "lsn long, op_seq long, op string, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
     )
-    for fn in (latest_version_per_key, latest_version_per_key_agg, latest_version_per_key_salted):
+    for fn in (
+        latest_version_per_key,
+        latest_version_per_key_agg,
+        latest_version_per_key_salted,
+        latest_version_per_key_max,
+    ):
         out = fn(df, KEYS).collect()
         assert len(out) == 1 and out[0]["text"] == "v3", fn.__name__

@@ -1,0 +1,55 @@
+"""Compaction + snapshot expiry are state-preserving."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from spark_cdc.cdc.apply import apply_batch
+from spark_cdc.cdc.envelope import KEY_COLUMNS, PAYLOAD_SCHEMA
+from spark_cdc.lake.maintenance import compact, expire_snapshots
+from spark_cdc.lake.table import LakeTable
+from spark_cdc.sources.changelog import generate_change_log
+from tests.conftest import assert_df_equal
+
+
+def _fragment(spark, path, n_batches=6):
+    """Append-mode fragmentation: each append adds files per bucket
+    (merge tables stay tight — CoW rewrites whole buckets — so
+    compaction's customers are append/fact tables and stream sinks)."""
+    log = generate_change_log(spark, n_events=1500, n_convs=25, seed=6, pct_delete=0.0)
+    table = LakeTable.create(spark, path, PAYLOAD_SCHEMA, key_columns=KEY_COLUMNS, num_buckets=2)
+    step = 1500 // n_batches
+    # first batch through merge (so hidden version cols are exercised)
+    apply_batch(table, log.where(F.col("lsn") < step), batch_id=0)
+    for i in range(1, n_batches):
+        batch = log.where((F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step))
+        # distinct keys per lsn-slice in this fixture → append is safe
+        table.append(batch.drop("op", "lsn", "op_seq"))
+    return table
+
+
+def test_compact_preserves_state(spark, tmp_table_path):
+    table = _fragment(spark, tmp_table_path)
+    before = sorted(tuple(r) for r in table.read().collect())
+    compacted = compact(table, max_files_per_bucket=1)
+    assert compacted, "expected fragmented buckets"
+    after = sorted(tuple(r) for r in table.read().collect())
+    assert before == after
+    # fewer files now
+    n_files = sum(len(v) for v in table.manifest["files"].values())
+    assert n_files <= table.num_buckets + 1
+
+
+def test_expire_snapshots(spark, tmp_table_path):
+    table = _fragment(spark, tmp_table_path)
+    compact(table, max_files_per_bucket=1)
+    state = sorted(tuple(r) for r in table.read().collect())
+    n_hist_before = len(table.history())
+    res = expire_snapshots(table, keep_last=2)
+    assert res["removed_manifests"] > 0 and res["removed_data_dirs"] >= 0
+    # current state unaffected, reload works
+    t2 = LakeTable.load(spark, table.path)
+    assert sorted(tuple(r) for r in t2.read().collect()) == state
+    assert len(t2.history()) == 2 < n_hist_before

@@ -1,0 +1,93 @@
+"""Dedup family, ANN, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_cdc.operators import ann, dedup_ops, multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant: 600=exact dup of 0 (modulo whitespace), 601=near dup of 1
+    d0, d1 = [r["text"] for r in base.where(F.col("doc_id").isin(0, 1)).orderBy("doc_id").collect()]
+    extra = spark.createDataFrame(
+        [
+            (600, "  " + d0.upper() + "  ", "en", "planted", len(d0)),
+            (601, d1 + " extra tail word", "en", "planted", len(d1)),
+        ],
+        base.schema,
+    )
+    return base.unionByName(extra)
+
+
+def test_exact_duplicates(spark, docs):
+    groups = dedup_ops.exact_duplicates(docs).collect()
+    assert any(set(g["doc_ids"]) == {0, 600} for g in groups)
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    cand = dedup_ops.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (1, 601) in pairs and (0, 600) in pairs
+    verified = dedup_ops.ngram_jaccard_pairs(docs, cand, n=3, threshold=0.5).collect()
+    vpairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified}
+    assert vpairs.get((1, 601), 0) >= 0.5
+    # candidate set is far smaller than all-pairs (LSH is doing work)
+    n = docs.count()
+    assert cand.count() < n * (n - 1) / 8
+
+
+def test_simhash_near_duplicates(spark, docs):
+    got = dedup_ops.simhash_near_duplicates(docs, max_hamming=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert (1, 601) in pairs
+
+
+def test_embedding_near_duplicates_and_ann(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    twin = spark.createDataFrame([(900, [float(x) for x in first], 99)], emb.schema)
+    vecs = emb.unionByName(twin)
+
+    nd = dedup_ops.embedding_near_duplicates(vecs.where(F.col("vec_id").isin(0, 1, 2, 900)), threshold=0.999)
+    assert {(r["id_a"], r["id_b"]) for r in nd.collect()} == {(0, 900)}
+
+    queries = vecs.where(F.col("vec_id") == 900).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann.cosine_topk(vecs, queries, k=3)
+    top1 = exact.where(F.col("rank") == 1).collect()[0]
+    assert top1["vec_id"] == 0 and top1["cosine"] > 0.9999
+
+    approx = ann.ann_topk_lsh(vecs, queries, dim=64, k=3, bits=6, tables=4)
+    # an identical vector always shares every LSH bucket → rank 1 found
+    a1 = approx.where(F.col("rank") == 1).collect()[0]
+    assert a1["vec_id"] == 0
+
+
+def test_ann_lsh_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["vec_id"]) for r in ann.cosine_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ann.ann_topk_lsh(emb, queries, dim=64, k=5, bits=4, tables=12).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall degenerate: {recall}"
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.generate_media_fixture(spark, n=60)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(r["n_bytes"] == 32 and len(r["features"]) == multimodal.FEATURE_DIM for r in rows)
+    # deterministic across runs
+    again = {r["media_id"]: r["sha256"] for r in multimodal.extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["sha256"] for r in rows)
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        multimodal.extract_features(media, decode_fn="real").collect()
