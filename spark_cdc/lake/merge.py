@@ -90,6 +90,7 @@ def merge_changes(
     delete_op: str = "d",
     evolve_schema: bool = True,
     collect_lineage: bool = True,
+    collect_stats: bool = True,
 ) -> MergeResult:
     """Apply a CDC change batch to ``table``. Returns merge stats.
 
@@ -166,42 +167,55 @@ def merge_changes(
         )
         .withColumn(BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets))
     )
-    winners = winners.persist()
+    if collect_stats:
+        winners = winners.persist()
     try:
-        # batch stats + per-partition lineage + touched buckets in ONE
-        # driver-side aggregation pass
-        group = [F.col("_pid")] if collect_lineage else [F.lit(0).alias("_pid")]
-        stat_rows = (
-            winners.groupBy(*group)
-            .agg(
-                F.sum("_n").alias("rows"),
-                F.count(F.lit(1)).alias("keys"),
-                F.min("_minl").alias("min_lsn"),
-                F.max("_maxl").alias("max_lsn"),
-                F.collect_set(BUCKET_COL).alias("buckets"),
+        if collect_stats:
+            # batch stats + per-partition lineage + touched buckets in
+            # ONE driver-side aggregation pass
+            group = [F.col("_pid")] if collect_lineage else [F.lit(0).alias("_pid")]
+            stat_rows = (
+                winners.groupBy(*group)
+                .agg(
+                    F.sum("_n").alias("rows"),
+                    F.count(F.lit(1)).alias("keys"),
+                    F.min("_minl").alias("min_lsn"),
+                    F.max("_maxl").alias("max_lsn"),
+                    F.collect_set(BUCKET_COL).alias("buckets"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        batch_keys = sum(r["keys"] for r in stat_rows)
-        if batch_keys == 0:
-            res = MergeResult(snapshot_id=table.snapshot_id, skipped=False)
-            res.wall_ms = (time.monotonic() - t0) * 1000
-            _record_batch(table, batch_id, source_id)
-            return res
-        batch_rows = sum(r["rows"] or 0 for r in stat_rows)
-        lsns = [r["min_lsn"] for r in stat_rows if r["min_lsn"] is not None]
-        min_lsn = min(lsns) if lsns else None
-        lsns = [r["max_lsn"] for r in stat_rows if r["max_lsn"] is not None]
-        max_lsn = max(lsns) if lsns else None
-        touched = sorted({int(b) for r in stat_rows for b in r["buckets"]})
-        lineage: list[dict[str, Any]] = (
-            [
-                {k: r[k] for k in ("_pid", "rows", "keys", "min_lsn", "max_lsn")}
-                for r in stat_rows
-            ]
-            if collect_lineage
-            else []
-        )
+            batch_keys = sum(r["keys"] for r in stat_rows)
+            if batch_keys == 0:
+                res = MergeResult(snapshot_id=table.snapshot_id, skipped=False)
+                res.wall_ms = (time.monotonic() - t0) * 1000
+                _record_batch(table, batch_id, source_id)
+                return res
+            batch_rows = sum(r["rows"] or 0 for r in stat_rows)
+            lsns = [r["min_lsn"] for r in stat_rows if r["min_lsn"] is not None]
+            min_lsn = min(lsns) if lsns else None
+            lsns = [r["max_lsn"] for r in stat_rows if r["max_lsn"] is not None]
+            max_lsn = max(lsns) if lsns else None
+            touched = sorted({int(b) for r in stat_rows for b in r["buckets"]})
+            lineage: list[dict[str, Any]] = (
+                [
+                    {k: r[k] for k in ("_pid", "rows", "keys", "min_lsn", "max_lsn")}
+                    for r in stat_rows
+                ]
+                if collect_lineage
+                else []
+            )
+        else:
+            # bulk-replay fast path: no pre-pass job — every bucket is
+            # assumed touched (true for uniformly-keyed bulk batches),
+            # so merge = ONE Spark job (dedup + resolve + write). Use
+            # for backfills; keep stats on for targeted streaming
+            # batches where bucket pruning pays.
+            batch_keys = -1
+            batch_rows = -1
+            min_lsn = max_lsn = None
+            touched = list(range(table.num_buckets))
+            lineage = []
 
         # -- resolve against current content of touched buckets only
         tgt = table.read(buckets=touched, include_hidden=True)
@@ -277,7 +291,8 @@ def merge_changes(
         res.wall_ms = (time.monotonic() - t0) * 1000
         return res
     finally:
-        winners.unpersist()
+        if collect_stats:
+            winners.unpersist()
 
 
 def _record_batch(table: LakeTable, batch_id: int | None, source_id: str) -> None:

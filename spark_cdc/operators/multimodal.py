@@ -105,7 +105,7 @@ def generate_media_fixture(spark, n: int = 100, seed: int = 42) -> DataFrame:
                 F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
                 (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
             ).alias("kind"),
-            F.sha2(F.concat(F.lit(f"seed{seed}-"), F.col("id")), 256).cast("binary").alias("payload"),
+            F.unhex(F.sha2(F.concat(F.lit(f"seed{seed}-"), F.col("id")), 256)).alias("payload"),
             F.struct(
                 F.lit("application/octet-stream").alias("mime"),
                 F.lit(64).alias("width"),

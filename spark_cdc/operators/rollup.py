@@ -1,0 +1,89 @@
+"""Incremental aggregate maintenance (SURVEY.md §2.4 A9).
+
+The reference's five KPI materialized views are SummingMergeTree
+tables: each insert contributes partial sums that ClickHouse re-sums
+per group at background-merge time
+(/root/reference/etl/clickhouse_schema/kpi_views.sql:13-15 et al.).
+This module is the explicit Spark rendering:
+
+- per micro-batch, compute the batch's **additive partial aggregates**
+  (counts/sums per group — map-side combinable);
+- merge them into a keyed lake table with ADD semantics (existing
+  group values + batch deltas), not replace semantics;
+- ratios (ctr etc.) are never stored — they are derived on read from
+  the summed counts, avoiding the reference's summed-ratio bug
+  (SURVEY.md §4 trap 1).
+
+Equivalence contract (tested): maintaining the rollup over any batch
+split of the input equals recomputing the aggregate from scratch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_cdc.lake.table import BUCKET_COL, V_SEQ, V_TS, LakeTable, bucket_expr
+
+
+class IncrementalRollup:
+    """Maintains ``group_cols → additive measures`` in a LakeTable.
+
+    ``measures`` maps output column name → aggregate Column over the
+    batch (must be additive: sum/count). Example::
+
+        IncrementalRollup(table, ["user_id"], {
+            "impressions": F.count(F.when(F.col("event_type") == "view", 1)),
+            "clicks": F.count(F.when(F.col("event_type") == "click", 1)),
+        })
+    """
+
+    def __init__(self, table: LakeTable, group_cols: list[str], measures: dict[str, Column]):
+        self.table = table
+        self.group_cols = group_cols
+        self.measures = measures
+
+    def apply_batch(self, batch: DataFrame, batch_id: int | None = None) -> int:
+        last = self.table.properties.get("last_batch_id", {}).get("rollup")
+        if batch_id is not None and last is not None and batch_id <= last:
+            return self.table.snapshot_id  # exactly-once skip
+        deltas = (
+            batch.groupBy(*self.group_cols)
+            .agg(*[m.cast("long").alias(name) for name, m in self.measures.items()])
+            .withColumn(BUCKET_COL, bucket_expr(self.table.bucket_column, self.table.num_buckets))
+            .persist()
+        )
+        # only buckets containing groups present in this batch are
+        # read + rewritten; the rest carry over by manifest reference
+        touched = sorted(r[0] for r in deltas.select(BUCKET_COL).distinct().collect())
+        if not touched:
+            deltas.unpersist()
+            return self.table.snapshot_id
+        current = self.table.read(buckets=touched)
+        merged = (
+            current.unionByName(deltas.drop(BUCKET_COL), allowMissingColumns=True)
+            .groupBy(*self.group_cols)
+            .agg(*[F.sum(name).alias(name) for name in self.measures])
+            .withColumn(BUCKET_COL, bucket_expr(self.table.bucket_column, self.table.num_buckets))
+            .repartition(max(len(touched) // 4, 1), F.col(BUCKET_COL))
+        )
+        for hidden in (V_TS, V_SEQ):
+            if hidden in {f.name for f in self.table.schema.fields}:
+                merged = merged.withColumn(hidden, F.lit(None).cast("timestamp" if hidden == V_TS else "long"))
+        props = dict(self.table.properties)
+        if batch_id is not None:
+            lb = dict(props.get("last_batch_id", {}))
+            lb["rollup"] = batch_id
+            props["last_batch_id"] = lb
+        try:
+            return self.table.overwrite_buckets(
+                merged,
+                touched,
+                properties=props,
+                summary={"operation": "rollup_merge", "batch_id": batch_id},
+            )
+        finally:
+            deltas.unpersist()
+
+    def read(self) -> DataFrame:
+        return self.table.read()

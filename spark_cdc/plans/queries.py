@@ -288,6 +288,59 @@ def j6_chain(spark, sf_dir):
     )
 
 
+@query(
+    "j4_date_only_join",
+    """
+    SELECT i.event_date AS event_date,
+           count(DISTINCT i.event_id) AS impressions,
+           count(DISTINCT c.event_id) AS clicks
+    FROM (SELECT event_id, CAST(ts AS DATE) AS event_date FROM events WHERE event_type = 'view') i
+    LEFT JOIN (SELECT event_id, CAST(ts AS DATE) AS event_date FROM events WHERE event_type = 'click') c
+      USING (event_date)
+    GROUP BY 1
+    """,
+)
+def j4_date_only(spark, sf_dir):
+    """J4: the reference's deliberately-coarse date-only join
+    (kpi_views.sql:46) — the per-date cross product is rescued by
+    COUNT(DISTINCT id), reproduced faithfully (the efficient agg-first
+    form is kpi_daily_performance)."""
+    ev = _t(spark, sf_dir, "events")
+    i = ev.where(F.col("event_type") == "view").select(
+        "event_id", F.to_date("ts").alias("event_date")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"), F.to_date("ts").alias("event_date")
+    )
+    return (
+        i.join(c, "event_date", "left")
+        .groupBy("event_date")
+        .agg(
+            F.countDistinct("event_id").alias("impressions"),
+            F.countDistinct("c_event_id").alias("clicks"),
+        )
+    )
+
+
+@query(
+    "a_cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a_cube(spark, sf_dir):
+    """Grouping sets (beyond the reference's plain GROUP BY): full cube
+    over (status, priority)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
 # =====================================================================
 # Aggregations (SURVEY §2.4) + KPI views (§2.6) over events
 # =====================================================================
@@ -697,7 +750,12 @@ def dedup_exact(spark, sf_dir):
 @query("dedup_minhash_lsh")  # no SQL oracle: banded-LSH not ANSI-expressible
 def dedup_minhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    cand = dedup_ops.minhash_lsh_candidates(d, num_hashes=16, bands=4)
+    # rows-per-band = 8: steep LSH S-curve keeps the candidate set
+    # near-linear on word-salad corpora where everything is mildly
+    # similar (the O(n²) failure mode of shallow bands)
+    # persist the candidate pairs: ngram_jaccard_pairs would otherwise
+    # lazily re-execute the whole LSH plan inside the verify join
+    cand = dedup_ops.minhash_lsh_candidates(d, num_hashes=32, bands=4).persist()
     return dedup_ops.ngram_jaccard_pairs(d, cand, n=3, threshold=0.5).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )

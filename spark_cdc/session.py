@@ -10,10 +10,34 @@ timezone so timestamps compare bit-exactly against the DuckDB oracle.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``spark_cdc`` importable on executors regardless of cwd —
+    the programmatic equivalent of ``spark-submit --py-files`` (which
+    is how the engine is deployed on a real cluster). Needed by any
+    pandas-UDF / mapInPandas closure that references package symbols."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), "spark_cdc_pyfiles")
+    zip_path = zip_base + ".zip"
+    src_mtime = max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(pkg_dir)
+        for f in fs
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
+        tmp = tempfile.mkdtemp()
+        shutil.copytree(pkg_dir, os.path.join(tmp, "spark_cdc"))
+        shutil.make_archive(zip_base, "zip", tmp)
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.sparkContext.addPyFile(zip_path)
 
 
 def get_spark(
@@ -52,4 +76,9 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # already shipped via --py-files, or zip race — workers
+        # will import from PYTHONPATH instead
     return spark

@@ -73,6 +73,23 @@ def test_incremental_merge_equals_replay_equals_oracle(spark, tmp_table_path):
     assert _table_state_rows(final) == _oracle_rows(_oracle_state(log))
 
 
+def test_fast_path_no_stats_equals_default(spark, tmp_path):
+    """collect_stats=False (bulk-replay single-job path) must produce
+    the same final state as the default stats path."""
+    log = generate_change_log(spark, n_events=1200, n_convs=30, seed=17)
+    t1 = LakeTable.create(
+        spark, str(tmp_path / "a"), PAYLOAD_SCHEMA, key_columns=KEY_COLUMNS, num_buckets=4
+    )
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "b"), PAYLOAD_SCHEMA, key_columns=KEY_COLUMNS, num_buckets=4
+    )
+    for i, (lo, hi) in enumerate([(0, 600), (600, 1201)]):
+        batch = log.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+        apply_batch(t1, batch, batch_id=i)
+        apply_batch(t2, batch, batch_id=i, collect_lineage=False, collect_stats=False)
+    assert _table_state_rows(t1.read()) == _table_state_rows(t2.read())
+
+
 def test_merge_is_idempotent_reapply(spark, tmp_table_path):
     log = generate_change_log(spark, n_events=1000, n_convs=20, seed=9)
     table = LakeTable.create(
