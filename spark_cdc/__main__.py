@@ -1,0 +1,134 @@
+"""spark-submit entry point: ``spark-submit --py-files spark_cdc.zip
+-m`` style deployment (north rule), or locally ``python -m spark_cdc``.
+
+Subcommands
+-----------
+replay   — batch-replay a change-log directory into a lake table
+stream   — tail a change-log directory with Structured Streaming
+           (checkpointed, exactly-once) into a lake table
+compact  — run table maintenance
+
+Example::
+
+    spark-submit --py-files /tmp/spark_cdc_pyfiles.zip \
+        -m spark_cdc stream \
+        --source /data/changelog --table /lake/transcripts \
+        --checkpoint /lake/_ckpt/transcripts --continuous
+
+(On this sandbox: ``python -m spark_cdc replay --source ... --table ...``.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="spark_cdc")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_replay = sub.add_parser("replay", help="batch replay change log → lake table")
+    p_replay.add_argument("--source", required=True, help="parquet change-log dir")
+    p_replay.add_argument("--table", required=True, help="lake table root")
+    p_replay.add_argument("--batches", type=int, default=8)
+    p_replay.add_argument("--num-buckets", type=int, default=64)
+    p_replay.add_argument("--normalize-text", action="store_true")
+
+    p_stream = sub.add_parser("stream", help="streaming tail change log → lake table")
+    p_stream.add_argument("--source", required=True)
+    p_stream.add_argument("--table", required=True)
+    p_stream.add_argument("--checkpoint", required=True)
+    p_stream.add_argument("--metrics", help="metrics lake table root")
+    p_stream.add_argument("--continuous", action="store_true")
+    p_stream.add_argument("--num-buckets", type=int, default=64)
+    p_stream.add_argument("--max-files-per-trigger", type=int, default=None)
+
+    p_comp = sub.add_parser("compact", help="compact + expire snapshots")
+    p_comp.add_argument("--table", required=True)
+    p_comp.add_argument("--keep-snapshots", type=int, default=3)
+
+    args = ap.parse_args(argv)
+
+    from spark_cdc.cdc.envelope import KEY_COLUMNS, PAYLOAD_SCHEMA
+    from spark_cdc.lake.table import LakeTable
+    from spark_cdc.session import get_spark
+
+    spark = get_spark(app_name=f"spark_cdc_{args.cmd}")
+
+    if args.cmd == "compact":
+        from spark_cdc.lake.maintenance import compact, expire_snapshots
+
+        table = LakeTable.load(spark, args.table)
+        buckets = compact(table)
+        stats = expire_snapshots(table, keep_last=args.keep_snapshots)
+        print(json.dumps({"compacted_buckets": buckets, **stats}))
+        return 0
+
+    def open_table(num_buckets: int) -> LakeTable:
+        if LakeTable.exists(args.table):
+            return LakeTable.load(spark, args.table)
+        return LakeTable.create(
+            spark, args.table, PAYLOAD_SCHEMA, key_columns=KEY_COLUMNS, num_buckets=num_buckets
+        )
+
+    if args.cmd == "replay":
+        from spark_cdc.cdc.apply import apply_batch
+        from spark_cdc.functions.text import normalize_text
+
+        table = open_table(args.num_buckets)
+        log = spark.read.parquet(args.source)
+        bounds = log.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"] + 1
+        step = max((hi - lo) // args.batches, 1)
+        norm = {"text": normalize_text(F.col("text"))} if args.normalize_text else None
+        for i in range(args.batches):
+            b_lo = lo + i * step
+            b_hi = hi if i == args.batches - 1 else lo + (i + 1) * step
+            batch = log.where((F.col("lsn") >= b_lo) & (F.col("lsn") < b_hi))
+            apply_batch(table, batch, batch_id=i, normalize=norm,
+                        collect_lineage=False, collect_stats=False)
+        print(json.dumps({"snapshot_id": table.snapshot_id, "rows": table.read().count()}))
+        return 0
+
+    if args.cmd == "stream":
+        from spark_cdc.metrics import MetricsLog
+        from spark_cdc.streaming import StreamRunner
+
+        table = open_table(args.num_buckets)
+        metrics = MetricsLog(spark, args.metrics) if args.metrics else None
+        runner = StreamRunner(
+            spark,
+            table,
+            args.source,
+            args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+            on_batch=(
+                (lambda bid, res: metrics.record(res, source_id="stream", batch_id=bid))
+                if metrics
+                else None
+            ),
+        )
+        if args.continuous:
+            q = runner.start_continuous()
+            q.awaitTermination()
+        else:
+            runner.run_available()
+            print(
+                json.dumps(
+                    {
+                        "batches": len(runner.results),
+                        "snapshot_id": table.snapshot_id,
+                        "rows": table.read().count(),
+                    }
+                )
+            )
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

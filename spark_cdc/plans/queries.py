@@ -650,6 +650,109 @@ def cdc_replay(spark, sf_dir):
     )
 
 
+@query(
+    "setop_viewers_never_clicked",
+    """
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'click'
+    """,
+)
+def setop_except(spark, sf_dir):
+    """W4 set ops: EXCEPT (viewers who never clicked)."""
+    ev = _t(spark, sf_dir, "events")
+    viewers = ev.where(F.col("event_type") == "view").select("user_id")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    # subtract = EXCEPT (set semantics); exceptAll would keep a viewer
+    # whose view-count exceeds their click-count — not the same op
+    return viewers.subtract(clickers)
+
+
+@query(
+    "pivot_event_type_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_counts(spark, sf_dir):
+    """Pivot: per-user event-type count matrix (fixed category list →
+    stable schema, the scalable form of pivot)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0, ["view", "click", "purchase", "signup", "error"])
+    )
+
+
+@query("a_approx_distinct")  # rows-only: HLL sketches differ across engines
+def approx_distinct(spark, sf_dir):
+    """At-scale variant of A1 (SURVEY §2.4): approx_count_distinct +
+    approximate quantiles. No cross-engine oracle (sketch
+    implementations differ); pytest bounds the relative error."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("p50_value"),
+        F.percentile_approx("value", 0.99).alias("p99_value"),
+    )
+
+
+@query(
+    "transcript_stitch",
+    """
+    SELECT conv_id, string_agg(text, ' | ' ORDER BY turn_idx) AS transcript,
+           count(*) AS n_turns
+    FROM (
+      SELECT conv_id, turn_idx, text
+      FROM (
+        SELECT concat('u', user_id) AS conv_id,
+               CAST(event_id % 20 AS INTEGER) AS turn_idx,
+               event_type AS text,
+               CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END AS op,
+               row_number() OVER (
+                 PARTITION BY concat('u', user_id), CAST(event_id % 20 AS INTEGER)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1 AND op <> 'd')
+    GROUP BY conv_id
+    """,
+)
+def transcript_stitch(spark, sf_dir):
+    """Per-conversation reconstruction under stable turn ordering —
+    the north-rule invariant surface (per-turn text equality) as a
+    query: CDC final state → ordered stitch per conversation."""
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("event_id").alias("op_seq"),
+        F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("c")).alias("op"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        F.pmod("event_id", F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("text"),
+        F.col("ts"),
+    )
+    state = replay_changes_df(log, ["conv_id", "turn_idx"])
+    return (
+        state.groupBy("conv_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "text"))).alias("turns"),
+        )
+        .select(
+            "conv_id",
+            F.array_join(F.transform("turns", lambda t: t["text"]), " | ").alias("transcript"),
+            F.size("turns").cast("long").alias("n_turns"),
+        )
+    )
+
+
 # =====================================================================
 # Text analysis / dedup family / ANN (training-data operators)
 # =====================================================================
