@@ -82,11 +82,19 @@ def ensure_changelog(spark, sf: float, n_events: int, n_convs: int) -> str:
     return path
 
 
-def run_replay(spark, sf: float, n_events: int, n_convs: int) -> dict:
+def run_replay(spark, sf: float, n_events: int, n_convs: int, mode: str = "mor") -> dict:
     """Timed: full replay of the change log in N_BATCHES lsn-ordered
-    micro-batches into a fresh lake table (dedup → salted bucketed
-    MERGE → snapshot commit each batch)."""
+    micro-batches into a fresh lake table.
+
+    mode='mor' (headline): dedup → delta append, O(batch) per merge —
+    the 10^10-event ingest path; a final compaction (also timed,
+    reported separately) folds deltas to single-version files.
+    mode='cow': dedup → bucket rewrite; reads stay cheap throughout.
+    Both end reference-equal (asserted by final_rows and tests).
+    """
     from pyspark.sql import functions as F
+
+    from spark_cdc.lake.maintenance import compact
 
     src = ensure_changelog(spark, sf, n_events, n_convs)
     log = spark.read.parquet(src)
@@ -104,19 +112,29 @@ def run_replay(spark, sf: float, n_events: int, n_convs: int) -> dict:
     for i in range(N_BATCHES):
         lo, hi = i * step, (i + 1) * step if i < N_BATCHES - 1 else n_events
         batch = log.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
-        # bulk-replay fast path: one Spark job per batch (uniform
+        # bulk-replay fast path: minimal Spark jobs per batch (uniform
         # batches touch every bucket anyway, so the pruning pre-pass
         # would buy nothing)
-        apply_batch(table, batch, batch_id=i, collect_lineage=False, collect_stats=False)
+        apply_batch(
+            table, batch, batch_id=i, mode=mode,
+            collect_lineage=False, collect_stats=False,
+        )
         applied += hi - lo
     elapsed = time.monotonic() - t0
+    t1 = time.monotonic()
+    compacted = compact(table, max_files_per_bucket=4) if mode == "mor" else []
+    compact_sec = time.monotonic() - t1
     final_rows = table.read().count()
     shutil.rmtree(workdir, ignore_errors=True)
     return {
+        "mode": mode,
         "events": applied,
         "batches": N_BATCHES,
         "elapsed_sec": round(elapsed, 3),
         "events_per_sec": round(applied / elapsed, 1),
+        "compact_sec": round(compact_sec, 3),
+        "compacted_buckets": len(compacted),
+        "events_per_sec_incl_compact": round(applied / (elapsed + compact_sec), 1),
         "final_rows": final_rows,
     }
 
@@ -137,6 +155,7 @@ def main() -> None:
     ap.add_argument("--replay-only", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--events", type=int, default=None)
+    ap.add_argument("--mode", choices=["cow", "mor"], default="mor")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -151,21 +170,31 @@ def main() -> None:
         shuffle_partitions=max(cores, 8),
     )
 
-    cdc = run_replay(spark, sf, n_events, n_convs)
     if args.replay_only:
+        cdc = run_replay(spark, sf, n_events, n_convs, mode=args.mode)
         print(json.dumps({"cores": cores, "sf": sf, "cdc": cdc}))
         return
+    cdc = run_replay(spark, sf, n_events, n_convs, mode="mor")
+    cdc_cow = run_replay(spark, sf, n_events, n_convs, mode="cow")
 
     queries = run_queries(spark, sf_dir)
-    total = round(cdc["elapsed_sec"] + sum(queries.values()), 3)
+    total = round(
+        cdc["elapsed_sec"] + cdc["compact_sec"] + cdc_cow["elapsed_sec"] + sum(queries.values()), 3
+    )
     result = {
         "metric": "cdc_replay_plus_query_suite_sec",
         "value": total,
         "unit": "sec",
-        "queries": {"cdc_replay": cdc["elapsed_sec"], **queries},
+        "queries": {
+            "cdc_replay_mor": cdc["elapsed_sec"],
+            "cdc_mor_compact": cdc["compact_sec"],
+            "cdc_replay_cow": cdc_cow["elapsed_sec"],
+            **queries,
+        },
         "sf": sf,
         "cores": cores,
         "cdc": cdc,
+        "cdc_cow": cdc_cow,
     }
     print(json.dumps(result))
 

@@ -32,14 +32,20 @@ def compact(
     """Rewrite over-fragmented buckets into one file each. Returns the
     bucket ids compacted. State-preserving (tested): read() before ==
     read() after."""
-    fragmented = [
-        int(b)
-        for b, files in table.manifest["files"].items()
-        if len(files) > max_files_per_bucket
-    ]
+    fragmented = sorted(
+        {
+            int(b)
+            for b, files in table.manifest["files"].items()
+            if len(files) > max_files_per_bucket
+        }
+        # delta-carrying buckets (merge-on-read) always compact: folding
+        # them back to single-version restores cheap reads
+        | {int(b) for b in table.manifest.get("delta_buckets", [])}
+    )
     if not fragmented:
         return []
-    df = table.read(buckets=fragmented, include_hidden=True)
+    # resolve=True folds multi-generation delta rows to latest-version
+    df = table.read(buckets=fragmented, include_hidden=True, resolve=True)
     if drop_tombstones:
         df = df.filter(~F.coalesce(F.col(V_DEL), F.lit(False)))
     if table.bucket_column:

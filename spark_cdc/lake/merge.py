@@ -45,7 +45,15 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_cdc.lake.table import BUCKET_COL, V_DEL, V_SEQ, V_TS, LakeTable, bucket_expr
+from spark_cdc.lake.table import (
+    BUCKET_COL,
+    V_DEL,
+    V_GEN,
+    V_SEQ,
+    V_TS,
+    LakeTable,
+    bucket_expr,
+)
 
 ENVELOPE_COLS = ("op", "lsn", "op_seq")
 IS_SRC = "_is_src"
@@ -66,18 +74,6 @@ class MergeResult:
     partition_lineage: list[dict[str, Any]] = field(default_factory=list)
 
 
-def _ord_struct(ts_col: str, seq_col: str, src_flag):
-    """Total version order: (ts, op_seq, is_src). Nulls sort lowest;
-    ties between a stored row and an incoming change of identical
-    version go to the incoming change (last-writer-wins, the
-    ReplacingMergeTree tie rule)."""
-    return F.struct(
-        F.coalesce(F.col(ts_col).cast("timestamp"), F.to_timestamp(F.lit("1900-01-01"))).alias("o_ts"),
-        F.coalesce(F.col(seq_col).cast("long"), F.lit(-1)).alias("o_seq"),
-        src_flag.cast("int").alias("o_src"),
-    )
-
-
 def merge_changes(
     table: LakeTable,
     changes: DataFrame,
@@ -91,8 +87,20 @@ def merge_changes(
     evolve_schema: bool = True,
     collect_lineage: bool = True,
     collect_stats: bool = True,
+    mode: str = "cow",
 ) -> MergeResult:
     """Apply a CDC change batch to ``table``. Returns merge stats.
+
+    ``mode``:
+
+    - ``"cow"`` (copy-on-write, default): touched buckets are resolved
+      against the batch and rewritten — reads stay single-version and
+      cheap; ingest cost ∝ touched-bucket data.
+    - ``"mor"`` (merge-on-read): the deduped batch is appended as delta
+      files — ingest cost ∝ batch only (the 10^10-event ingest mode);
+      reads of flagged buckets resolve latest-version on the fly until
+      ``maintenance.compact`` folds them. Same final-state semantics
+      (tested equal to cow).
 
     Exactly-once: when ``batch_id`` is given and ≤ the last committed
     batch id for ``source_id`` (stored in snapshot properties — the
@@ -208,17 +216,75 @@ def merge_changes(
         else:
             # bulk-replay fast path: no pre-pass job — every bucket is
             # assumed touched (true for uniformly-keyed bulk batches),
-            # so merge = ONE Spark job (dedup + resolve + write). Use
-            # for backfills; keep stats on for targeted streaming
-            # batches where bucket pruning pays.
+            # so merge = ONE Spark job (dedup + resolve + write), and
+            # resolution is single-pass (see below). Use for backfills;
+            # keep stats on for targeted streaming batches where bucket
+            # pruning pays.
             batch_keys = -1
             batch_rows = -1
             min_lsn = max_lsn = None
             touched = list(range(table.num_buckets))
             lineage = []
 
+        if mode == "mor":
+            gen = table.snapshot_id + 1
+            delta = (
+                winners.select(
+                    *user_cols,
+                    F.col(f"{V_TS}").alias(V_TS),
+                    F.col(f"{V_SEQ}").alias(V_SEQ),
+                    (F.col("__op") == F.lit(delete_op)).alias(V_DEL),
+                    F.lit(gen).cast("long").alias(V_GEN),
+                )
+                .withColumn(BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets))
+                .repartition(
+                    len(touched) if collect_stats else table.num_buckets,
+                    F.col(BUCKET_COL),
+                )
+            )
+            props = dict(table.properties)
+            if batch_id is not None:
+                lb = dict(props.get("last_batch_id", {}))
+                lb[source_id] = batch_id
+                props["last_batch_id"] = lb
+            snap_id = table.append_deltas(
+                delta,
+                touched_buckets=touched if collect_stats else None,
+                properties=props,
+                summary={
+                    "operation": "merge_mor",
+                    "batch_id": batch_id,
+                    "source_id": source_id,
+                    "batch_rows": int(batch_rows),
+                    "batch_keys": int(batch_keys),
+                    "min_lsn": min_lsn,
+                    "max_lsn": max_lsn,
+                    "partition_lineage": lineage,
+                },
+            )
+            rows_written, files_written = (
+                _written_stats(table) if collect_stats else (-1, -1)
+            )
+            res = MergeResult(
+                snapshot_id=snap_id,
+                touched_buckets=touched if collect_stats else sorted(
+                    int(b) for b in table.manifest.get("delta_buckets", [])
+                ),
+                rows_written=rows_written,
+                files_written=files_written,
+                batch_rows=int(batch_rows),
+                batch_keys=int(batch_keys),
+                min_lsn=min_lsn,
+                max_lsn=max_lsn,
+                partition_lineage=lineage,
+            )
+            res.wall_ms = (time.monotonic() - t0) * 1000
+            return res
+
         # -- resolve against current content of touched buckets only
-        tgt = table.read(buckets=touched, include_hidden=True)
+        # (raw multi-generation rows: the union+max_by below subsumes
+        # MoR read-path resolution, so resolve=False avoids a shuffle)
+        tgt = table.read(buckets=touched, include_hidden=True, resolve=False)
         tgt = (
             # stored tombstones keep competing as deletes so a late
             # older insert can never resurrect a newer delete
@@ -228,22 +294,56 @@ def merge_changes(
             )
             .withColumn(IS_SRC, F.lit(0))
         )
-        src_r = winners.select(
-            *user_cols, "__op", V_TS, V_SEQ, F.lit(1).alias(IS_SRC)
+        if collect_stats:
+            src_r = winners.select(
+                *user_cols, "__op", V_TS, V_SEQ, F.lit(1).alias(IS_SRC),
+                F.lit(-1).cast("long").alias("_lsn_ord"),
+            )
+        else:
+            # single-pass resolution: raw batch rows (duplicates and
+            # all) compete directly with stored rows in ONE aggregation
+            # — lsn breaks intra-batch version ties, is_src breaks
+            # src-vs-stored ties. One shuffle instead of two.
+            src_r = src.select(
+                *user_cols,
+                F.col(op_col).alias("__op"),
+                F.col(ts_col).cast("timestamp").alias(V_TS),
+                F.coalesce(F.col(seq_col).cast("long"), F.lit(-1)).alias(V_SEQ),
+                F.lit(1).alias(IS_SRC),
+                (F.col(lsn_col).cast("long") if has_lsn else F.lit(-1).cast("long")).alias("_lsn_ord"),
+            )
+        tgt_r = tgt.select(
+            *user_cols, "__op", V_TS, V_SEQ, IS_SRC,
+            F.lit(-1).cast("long").alias("_lsn_ord"),
         )
-        tgt_r = tgt.select(*user_cols, "__op", V_TS, V_SEQ, IS_SRC)
         both = tgt_r.unionByName(src_r)
+        if not collect_stats:
+            # one-exchange plan: shuffle once on the bucket, then group
+            # by (bucket, key) — HashPartitioning(bucket) satisfies the
+            # clustering requirement since bucket ⊆ group keys, so the
+            # aggregation runs in-place and each task holds exactly one
+            # bucket at write time (no second exchange).
+            both = both.withColumn(
+                BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets)
+            ).repartition(len(touched), F.col(BUCKET_COL))
         resolved_payload = F.struct(
             *[F.col(c).alias(c) for c in user_cols if c not in keys],
             F.col("__op").alias("__op"),
             F.col(V_TS).alias(V_TS),
             F.col(V_SEQ).alias(V_SEQ),
         )
+        resolved_ord = F.struct(
+            F.coalesce(F.col(V_TS), F.to_timestamp(F.lit("1900-01-01"))).alias("o_ts"),
+            F.coalesce(F.col(V_SEQ), F.lit(-1)).alias("o_seq"),
+            F.col(IS_SRC).cast("int").alias("o_src"),
+            F.coalesce(F.col("_lsn_ord"), F.lit(-1)).alias("o_lsn"),
+        )
+        group_keys = ([BUCKET_COL] if not collect_stats else []) + list(keys)
         resolved = (
-            both.groupBy(*keys)
-            .agg(F.max_by(resolved_payload, _ord_struct(V_TS, V_SEQ, F.col(IS_SRC))).alias("w"))
+            both.groupBy(*group_keys)
+            .agg(F.max_by(resolved_payload, resolved_ord).alias("w"))
             .select(
-                *keys,
+                *group_keys,
                 *[F.col(f"w.{c}").alias(c) for c in user_cols if c not in keys],
                 F.col("w.__op").alias("__op"),
                 F.col(f"w.{V_TS}").alias(V_TS),
@@ -251,12 +351,17 @@ def merge_changes(
             )
             .withColumn(V_DEL, F.col("__op") == F.lit(delete_op))
             .drop("__op")
-            .withColumn(BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets))
-            # align write tasks with buckets: without this, partitionBy
-            # writes one file per (task × bucket) — a tiny-file explosion
-            # that compounds across micro-batches
-            .repartition(max(len(touched), 1), F.col(BUCKET_COL))
         )
+        if collect_stats:
+            resolved = (
+                resolved.withColumn(
+                    BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets)
+                )
+                # align write tasks with buckets: without this,
+                # partitionBy writes one file per (task × bucket) — a
+                # tiny-file explosion compounding across micro-batches
+                .repartition(max(len(touched), 1), F.col(BUCKET_COL))
+            )
 
         props = dict(table.properties)
         if batch_id is not None:
@@ -276,7 +381,9 @@ def merge_changes(
         }
         snap_id = table.overwrite_buckets(resolved, touched, props, summary)
 
-        rows_written, files_written = _written_stats(table)
+        rows_written, files_written = (
+            _written_stats(table) if collect_stats else (-1, -1)
+        )
         res = MergeResult(
             snapshot_id=snap_id,
             touched_buckets=touched,

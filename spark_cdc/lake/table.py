@@ -57,12 +57,34 @@ BUCKET_COL = "_bucket"
 V_TS = "_v_ts"
 V_SEQ = "_v_seq"
 V_DEL = "_deleted"
-HIDDEN_COLS = (V_TS, V_SEQ, V_DEL)
+# write-generation (snapshot id at write time): merge-on-read delta
+# files may carry several versions of one key across files; _gen breaks
+# exact version ties in favour of the later write.
+V_GEN = "_gen"
+HIDDEN_COLS = (V_TS, V_SEQ, V_DEL, V_GEN)
 
 
 def bucket_expr(bucket_column: str, num_buckets: int):
     """Deterministic bucket id for a key column (Iceberg-style hash bucket)."""
     return F.pmod(F.xxhash64(F.col(bucket_column)), F.lit(num_buckets)).cast("int")
+
+
+def _resolve_latest(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Latest-version-per-key over possibly-multi-generation rows:
+    max_by(payload, (v_ts, v_seq, gen)) — the MoR read-path resolution.
+    Hash-aggregate with map-side partial combine (skew-safe)."""
+    payload = [c for c in df.columns if c not in keys]
+    pay = F.struct(*[F.col(c).alias(c) for c in payload])
+    ords = F.struct(
+        F.coalesce(F.col(V_TS), F.to_timestamp(F.lit("1900-01-01"))).alias("o_ts"),
+        F.coalesce(F.col(V_SEQ), F.lit(-1)).alias("o_seq"),
+        F.coalesce(F.col(V_GEN), F.lit(-1)).alias("o_gen"),
+    )
+    return (
+        df.groupBy(*keys)
+        .agg(F.max_by(pay, ords).alias("_w"))
+        .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in payload])
+    )
 
 
 class LakeTable:
@@ -98,6 +120,7 @@ class LakeTable:
                 T.StructField(V_TS, T.TimestampType(), True),
                 T.StructField(V_SEQ, T.LongType(), True),
                 T.StructField(V_DEL, T.BooleanType(), True),
+                T.StructField(V_GEN, T.LongType(), True),
             ]
             schema = T.StructType(
                 list(schema.fields) + [f for f in extra if f.name not in names]
@@ -180,17 +203,30 @@ class LakeTable:
         snapshot_id: int | None = None,
         buckets: list[int] | None = None,
         include_hidden: bool = False,
+        resolve: bool | None = None,
     ) -> DataFrame:
         """Snapshot read; optionally restricted to a bucket subset.
 
         Files written before a schema evolution lack the added columns;
         passing the current schema to the parquet reader null-fills
         them (Iceberg ADD COLUMN semantics).
+
+        Merge-on-read: buckets carrying delta files (appended by
+        ``merge_changes(mode='mor')``) may hold several versions of a
+        key across file generations; those buckets are resolved to
+        latest-version-per-key on the fly (Iceberg MoR read path).
+        ``resolve`` forces/suppresses this (default: auto from the
+        manifest's ``delta_buckets``).
         """
         manifest = (
             self.manifest if snapshot_id is None else self._read_manifest(snapshot_id)
         )
         schema = T.StructType.fromJson(manifest["schema"])
+        delta_buckets = {
+            int(b)
+            for b in manifest.get("delta_buckets", [])
+            if buckets is None or int(b) in buckets
+        }
         files: list[str] = []
         for b, flist in manifest["files"].items():
             if buckets is None or int(b) in buckets:
@@ -199,6 +235,9 @@ class LakeTable:
             df = self.spark.createDataFrame([], schema)
         else:
             df = self.spark.read.schema(schema).parquet(*files)
+        need_resolve = bool(delta_buckets) if resolve is None else resolve
+        if need_resolve and self.key_columns and files:
+            df = _resolve_latest(df, list(manifest["key_columns"]))
         if not include_hidden:
             if V_DEL in df.columns:
                 df = df.filter(~F.coalesce(F.col(V_DEL), F.lit(False)))
@@ -234,7 +273,9 @@ class LakeTable:
         """Copy-on-write replacement of a bucket subset: ``df`` (already
         carrying ``_bucket``) becomes the new content of
         ``touched_buckets``; every other bucket carries over by
-        reference. This is the commit primitive under MERGE."""
+        reference. This is the commit primitive under MERGE (CoW mode)
+        and compaction; replaced buckets are single-version again, so
+        their delta flag clears."""
         new_id = self.snapshot_id + 1
         new_files = self._write_data(df, new_id)
         files = {
@@ -244,11 +285,50 @@ class LakeTable:
         }
         for b, fl in new_files.items():
             files[b] = fl
+        deltas = sorted(
+            set(int(b) for b in self.manifest.get("delta_buckets", []))
+            - set(touched_buckets)
+        )
         self._commit_next(
             new_id,
             files,
             properties if properties is not None else dict(self.properties),
             summary or {"operation": "overwrite_buckets"},
+            delta_buckets=deltas,
+        )
+        return new_id
+
+    def append_deltas(
+        self,
+        df: DataFrame,
+        touched_buckets: list[int] | None = None,
+        properties: dict[str, Any] | None = None,
+        summary: dict[str, Any] | None = None,
+    ) -> int:
+        """Merge-on-read commit: append ``df`` (carrying ``_bucket``) as
+        delta files to ``touched_buckets`` without rewriting existing
+        data. Ingest cost is O(batch); reads of flagged buckets resolve
+        latest-version on the fly until :func:`spark_cdc.lake.
+        maintenance.compact` folds them."""
+        new_id = self.snapshot_id + 1
+        new_files = self._write_data(df, new_id)
+        files = {b: list(fl) for b, fl in self.manifest["files"].items()}
+        for b, fl in new_files.items():
+            files.setdefault(b, []).extend(fl)
+        if touched_buckets is None:
+            # derive from what the write actually produced (saves the
+            # caller a pre-pass job)
+            touched_buckets = [int(b) for b in new_files]
+        deltas = sorted(
+            set(int(b) for b in self.manifest.get("delta_buckets", []))
+            | set(touched_buckets)
+        )
+        self._commit_next(
+            new_id,
+            files,
+            properties if properties is not None else dict(self.properties),
+            summary or {"operation": "append_deltas"},
+            delta_buckets=deltas,
         )
         return new_id
 
@@ -344,6 +424,7 @@ class LakeTable:
         files: dict[str, list[str]],
         properties: dict[str, Any],
         summary: dict[str, Any],
+        delta_buckets: list[int] | None = None,
     ) -> None:
         manifest = dict(self.manifest)
         manifest.update(
@@ -353,6 +434,11 @@ class LakeTable:
                 "files": files,
                 "properties": properties,
                 "summary": summary,
+                "delta_buckets": (
+                    delta_buckets
+                    if delta_buckets is not None
+                    else list(self.manifest.get("delta_buckets", []))
+                ),
             }
         )
         self._commit(manifest)

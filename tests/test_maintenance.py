@@ -15,17 +15,16 @@ from tests.conftest import assert_df_equal
 
 
 def _fragment(spark, path, n_batches=6):
-    """Append-mode fragmentation: each append adds files per bucket
-    (merge tables stay tight — CoW rewrites whole buckets — so
-    compaction's customers are append/fact tables and stream sinks)."""
+    """Append-mode fragmentation with DISJOINT keys per append (a
+    keyed table legitimately holds one version per key outside MoR
+    deltas; compaction resolves versions, so overlapping plain appends
+    would collapse — that collapse is exercised in test_mor.py)."""
     log = generate_change_log(spark, n_events=1500, n_convs=25, seed=6, pct_delete=0.0)
+    uniq = log.dropDuplicates(["conv_id", "turn_idx"])
     table = LakeTable.create(spark, path, PAYLOAD_SCHEMA, key_columns=KEY_COLUMNS, num_buckets=2)
-    step = 1500 // n_batches
-    # first batch through merge (so hidden version cols are exercised)
-    apply_batch(table, log.where(F.col("lsn") < step), batch_id=0)
+    apply_batch(table, uniq.where(F.pmod("turn_idx", F.lit(n_batches)) == 0), batch_id=0)
     for i in range(1, n_batches):
-        batch = log.where((F.col("lsn") >= i * step) & (F.col("lsn") < (i + 1) * step))
-        # distinct keys per lsn-slice in this fixture → append is safe
+        batch = uniq.where(F.pmod("turn_idx", F.lit(n_batches)) == i)
         table.append(batch.drop("op", "lsn", "op_seq"))
     return table
 
