@@ -98,7 +98,12 @@ def run_replay(spark, sf: float, n_events: int, n_convs: int, mode: str = "mor")
 
     src = ensure_changelog(spark, sf, n_events, n_convs)
     log = spark.read.parquet(src)
-    workdir = tempfile.mkdtemp(prefix="spark_cdc_bench_tbl_")
+    # table lives on tmpfs when available: the single local disk's
+    # writeback stalls are a one-host artifact (a 4N-executor cluster
+    # has 4N disks); RAM-backed storage isolates the compute scaling
+    # this benchmark measures
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="spark_cdc_bench_tbl_", dir=shm)
     table = LakeTable.create(
         spark,
         os.path.join(workdir, "transcripts"),
@@ -156,6 +161,8 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--events", type=int, default=None)
     ap.add_argument("--mode", choices=["cow", "mor"], default="mor")
+    ap.add_argument("--batches", type=int, default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -164,10 +171,17 @@ def main() -> None:
     n_events = args.events or max(int(EVENTS_PER_SF * sf), 50_000)
     n_convs = max(int(CONVS_PER_SF * sf), 500)
 
+    shm_local = None
+    if os.path.isdir("/dev/shm"):
+        shm_local = tempfile.mkdtemp(prefix="spark_local_", dir="/dev/shm")
+    global N_BATCHES
+    if args.batches:
+        N_BATCHES = args.batches
     spark = get_spark(
         master=f"local[{cores}]",
         app_name="spark_cdc_bench",
-        shuffle_partitions=max(cores, 8),
+        shuffle_partitions=args.shuffle_partitions or max(cores, 8),
+        extra_conf={"spark.local.dir": shm_local} if shm_local else None,
     )
 
     if args.replay_only:

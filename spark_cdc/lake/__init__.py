@@ -18,5 +18,6 @@ monthly partition pruning).
 
 from spark_cdc.lake.table import LakeTable
 from spark_cdc.lake.merge import merge_changes
+from spark_cdc.lake.maintenance import compact, expire_snapshots
 
-__all__ = ["LakeTable", "merge_changes"]
+__all__ = ["LakeTable", "merge_changes", "compact", "expire_snapshots"]
