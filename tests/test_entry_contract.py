@@ -13,7 +13,7 @@ import pytest
 
 import __spark_entry__ as contract
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("CONTRACT_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _canon(v):
