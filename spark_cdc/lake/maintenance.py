@@ -74,6 +74,24 @@ def expire_snapshots(table: LakeTable, keep_last: int = 3) -> dict:
         for files in m["files"].values():
             for rel in files:
                 live_dirs.add(rel.split(os.sep)[1])  # data/<snapdir>/...
+    # re-root the retained history FIRST (fsync'd tmp+replace, same
+    # discipline as LakeTable._commit): a crash after deletions but
+    # before the rewrite would leave retained manifests whose parent
+    # chain points at deleted snap-*.json files, breaking history()/
+    # time travel. Rewrite-then-delete is crash-safe in every prefix.
+    if expired and retained:
+        import json
+        import uuid
+
+        root = dict(retained[0])
+        root["parent_id"] = None
+        final = os.path.join(table.path, META_DIR, f"snap-{root['snapshot_id']}.json")
+        tmp = os.path.join(table.path, META_DIR, f".snap.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(root, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
     removed_files = 0
     data_root = os.path.join(table.path, DATA_DIR)
     for entry in list(os.listdir(data_root)):
@@ -86,14 +104,4 @@ def expire_snapshots(table: LakeTable, keep_last: int = 3) -> dict:
         if os.path.exists(p):
             os.remove(p)
             removed_manifests += 1
-    # break the parent chain at the new history root
-    if expired and retained:
-        root = dict(retained[0])
-        root["parent_id"] = None
-        import json
-
-        with open(
-            os.path.join(table.path, META_DIR, f"snap-{root['snapshot_id']}.json"), "w"
-        ) as f:
-            json.dump(root, f)
     return {"removed_data_dirs": removed_files, "removed_manifests": removed_manifests}

@@ -297,6 +297,7 @@ def merge_changes(
         if collect_stats:
             src_r = winners.select(
                 *user_cols, "__op", V_TS, V_SEQ, F.lit(1).alias(IS_SRC),
+                F.lit(-1).cast("long").alias("_gen_ord"),
                 F.lit(-1).cast("long").alias("_lsn_ord"),
             )
         else:
@@ -310,10 +311,16 @@ def merge_changes(
                 F.col(ts_col).cast("timestamp").alias(V_TS),
                 F.coalesce(F.col(seq_col).cast("long"), F.lit(-1)).alias(V_SEQ),
                 F.lit(1).alias(IS_SRC),
+                F.lit(-1).cast("long").alias("_gen_ord"),
                 (F.col(lsn_col).cast("long") if has_lsn else F.lit(-1).cast("long")).alias("_lsn_ord"),
             )
         tgt_r = tgt.select(
             *user_cols, "__op", V_TS, V_SEQ, IS_SRC,
+            # stored rows carry their write generation: two stored
+            # generations of a key with identical (ts, op_seq) must
+            # resolve exactly as the MoR read path (_resolve_latest)
+            # would — later write wins — so CoW and MoR never disagree
+            F.coalesce(F.col(V_GEN), F.lit(-1)).cast("long").alias("_gen_ord"),
             F.lit(-1).cast("long").alias("_lsn_ord"),
         )
         both = tgt_r.unionByName(src_r)
@@ -336,6 +343,7 @@ def merge_changes(
             F.coalesce(F.col(V_TS), F.to_timestamp(F.lit("1900-01-01"))).alias("o_ts"),
             F.coalesce(F.col(V_SEQ), F.lit(-1)).alias("o_seq"),
             F.col(IS_SRC).cast("int").alias("o_src"),
+            F.coalesce(F.col("_gen_ord"), F.lit(-1)).alias("o_gen"),
             F.coalesce(F.col("_lsn_ord"), F.lit(-1)).alias("o_lsn"),
         )
         group_keys = ([BUCKET_COL] if not collect_stats else []) + list(keys)

@@ -10,14 +10,24 @@
   Hyperplanes are derived deterministically from a seed (no RNG at
   execution time → replay-stable).
 
-Dot products use ``zip_with`` + ``aggregate`` (JVM, codegen). The
-LSH signature uses the same expressions — no Python in the scan path.
+Signatures are computed by an Arrow-batched numpy matmul — ONE
+``(batch, dim) @ (dim, tables·bits)`` product per Arrow batch with the
+plane matrix held as a closure constant. (The round-1 form built each
+plane as ``F.array(*[F.lit(x) ...])`` — dim×bits×tables literal
+expression nodes, a Catalyst analysis/codegen blowup at dim≥768 — and
+scored through interpreted per-element higher-order functions; both
+replaced.) Candidate scoring defaults to the same numpy path
+(``score_arrow=True``); the JVM ``zip_with``+``aggregate`` form remains
+for bit-exact oracle parity with sequential-fold engines.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _norm(vcol):
@@ -28,6 +38,26 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def cosine_udf():
+    """Vectorized cosine similarity over two array columns: stacks each
+    Arrow batch into (n, dim) matrices and does one einsum — the numpy
+    fast path for candidate scoring at real embedding dims."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den > 0, num / den, np.nan)
+        return pd.Series(out)
+
+    return _cos
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -35,27 +65,28 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    score_arrow: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k neighbours for each query vector.
 
     ``queries(query_id, embedding)`` is expected small (broadcast);
     self-matches (same id) are excluded when ids align.
+    ``score_arrow=False`` (default) keeps the JVM sequential-fold dot
+    product for bit-exact DuckDB-oracle parity; ``True`` switches to
+    the numpy batch path (preferred at dim ≥ a few hundred).
     """
     base = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("vnorm", _norm(F.col("v")))
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q")
-    ).withColumn("qnorm", _norm(F.col("q")))
-    scored = (
-        base.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.try_divide(_dot(F.col("v"), F.col("q")), F.col("vnorm") * F.col("qnorm")).alias("cosine"),
-        )
     )
+    joined = base.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+    if score_arrow:
+        cos = cosine_udf()(F.col("v"), F.col("q"))
+    else:
+        cos = F.try_divide(_dot(F.col("v"), F.col("q")), _norm(F.col("v")) * _norm(F.col("q")))
+    scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -64,23 +95,33 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(vcol, dim: int, bits: int = 8, seed: int = 42):
-    """Sign-random-projection signature as an int bucket id.
-
-    Hyperplane components are deterministic pseudo-gaussians derived
-    from xxhash64(seed, bit, dim-index) — same plane set on every
-    executor and every run, no RNG state to ship.
-    """
-    import numpy as np
-
+def _planes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
+    """Deterministic hyperplane tensor (tables, bits, dim): same planes
+    on every executor and every run — seeded PCG64, no RNG state to
+    ship."""
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((bits, dim))
-    bucket = F.lit(0)
-    for b in range(bits):
-        plane = F.array(*[F.lit(float(x)) for x in planes[b]])
-        d = _dot(vcol, plane)
-        bucket = bucket + F.when(d >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return bucket
+    return rng.standard_normal((tables, bits, dim))
+
+
+def hyperplane_signatures_np(dim: int, bits: int = 8, tables: int = 8, seed: int = 42):
+    """pandas UDF: embedding array → int array of per-table bucket ids
+    (length ``tables``). All tables' signatures in one matmul per Arrow
+    batch; the plane matrix is a closure constant shipped once per task
+    (never a Catalyst literal)."""
+    P = _planes(dim, bits, tables, seed).reshape(tables * bits, dim).T  # (dim, t·b)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])  # (n, dim)
+        proj = M @ P  # (n, tables·bits)
+        bitmat = (proj >= 0).astype(np.int64).reshape(len(vecs), tables, bits)
+        buckets = (bitmat * weights).sum(axis=2).astype(np.int32)  # (n, tables)
+        return pd.Series([row.tolist() for row in buckets])
+
+    return _sig
 
 
 def hyperplane_lsh_buckets(
@@ -95,18 +136,12 @@ def hyperplane_lsh_buckets(
     """One row per (vector, table) with that table's bucket id.
     Multiple independent tables trade compute for recall:
     P(candidate) = 1 - (1 - p^bits)^tables."""
-    v = vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    sigs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                hyperplane_signature(F.col("v"), dim, bits, seed + 1000 * t).alias("bucket"),
-            )
-            for t in range(tables)
-        ]
-    )
-    return v.withColumn("sig", F.explode(sigs)).select(
-        id_col, "v", F.col("sig.tbl").alias("tbl"), F.col("sig.bucket").alias("bucket")
+    sig = hyperplane_signatures_np(dim, bits, tables, seed)
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("sigs", sig(F.col("v")))
+    return v.select(
+        id_col, "v", F.posexplode("sigs").alias("tbl", "bucket")
     )
 
 
@@ -121,11 +156,13 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    score_arrow: bool = True,
 ) -> DataFrame:
     """Approximate top-k: rank only vectors colliding with the query in
     ≥1 of ``tables`` independent bucket tables (candidates unioned and
     deduped before scoring). Recall vs ``cosine_topk`` is measured in
-    tests; tune (bits, tables) per corpus."""
+    tests; tune (bits, tables) per corpus. ``score_arrow=False`` keeps
+    the JVM fold dot product (oracle bit-parity)."""
     base = hyperplane_lsh_buckets(
         vectors, dim, bits, seed, tables, id_col, vec_col
     )
@@ -144,11 +181,11 @@ def ann_topk_lsh(
         .select("query_id", F.col(id_col).alias("vec_id"), "v", "q")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "vec_id",
-        F.try_divide(_dot(F.col("v"), F.col("q")), _norm(F.col("v")) * _norm(F.col("q"))).alias("cosine"),
-    )
+    if score_arrow:
+        cos = cosine_udf()(F.col("v"), F.col("q"))
+    else:
+        cos = F.try_divide(_dot(F.col("v"), F.col("q")), _norm(F.col("v")) * _norm(F.col("q")))
+    scored = cand.select("query_id", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -264,13 +264,17 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------ simhash
 @F.pandas_udf(T.LongType())
-def _simhash64(tokens: pd.Series) -> pd.Series:
-    """64-bit SimHash from token lists, numpy-vectorized per Arrow batch."""
-    out = np.zeros(len(tokens), dtype=np.int64)
-    for i, toks in enumerate(tokens):
-        if toks is None or len(toks) == 0:
+def _simhash64(token_hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash majority vote over PRE-HASHED tokens (arrays of
+    signed int64 from JVM ``xxhash64``), numpy-vectorized per Arrow
+    batch. Hashing happens JVM-side so signatures are deterministic
+    across processes, executors and replays (Python's ``hash(str)`` is
+    per-process seeded — the round-1 determinism bug)."""
+    out = np.zeros(len(token_hashes), dtype=np.int64)
+    for i, hs_list in enumerate(token_hashes):
+        if hs_list is None or len(hs_list) == 0:
             continue
-        hs = np.array([hash(t) & 0xFFFFFFFFFFFFFFFF for t in toks], dtype=np.uint64)
+        hs = np.asarray(hs_list, dtype=np.int64).view(np.uint64)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
         votes = bits.sum(axis=0) * 2 - len(hs)
         sig = 0
@@ -285,21 +289,32 @@ def _simhash64(tokens: pd.Series) -> pd.Series:
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc 64-bit SimHash over word tokens.
 
-    Note: Python's ``hash`` for str is seeded per-process; for
-    cross-run determinism set PYTHONHASHSEED (the Spark session does
-    this for workers) — grouping behavior within one job is what
-    matters for dedup.
+    Tokens are hashed JVM-side (``transform(tokens, xxhash64)``) before
+    the Arrow majority-vote UDF — deterministic everywhere, no Python
+    string hashing in the loop.
     """
     toks = F.split(F.lower(normalize_text_expr(F.col(text_col))), r"\s+")
-    return _ensure_parallel(df).select(F.col(id_col), _simhash64(toks).alias("simhash"))
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
+    return _ensure_parallel(df).select(F.col(id_col), _simhash64(hs).alias("simhash"))
 
 
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4 16-bit bands (any match →
-    candidate; Hamming ≤ 3 guarantees ≥1 identical band), then filter
-    by exact Hamming distance via ``bit_count(xor)``."""
+    """Near-dup pairs by SimHash: block on ``n_bands`` equal-width bit
+    bands (any band match → candidate; by pigeonhole, Hamming ≤
+    ``n_bands - 1`` guarantees ≥1 identical band — choose
+    ``n_bands > max_hamming`` for recall 1.0), then filter by exact
+    Hamming distance via ``bit_count(xor)``. Wider bands (fewer of
+    them) keep bucket collision counts low at corpus scale; the
+    default 4×16-bit blocking matches Hamming ≤ 3."""
+    assert 64 % n_bands == 0, "n_bands must divide 64"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     sh = simhash(df, id_col, text_col)
     banded = sh.select(
         F.col(id_col).alias("_id"),
@@ -309,9 +324,9 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                        F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("bucket"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),
@@ -331,18 +346,44 @@ def simhash_near_duplicates(
 
 
 # ------------------------------------------- embedding near-duplicates
+# above this row count the all-pairs theta join is out of contract:
+# O(n²) at 10^8 vectors is never acceptable, LSH candidates are
+BRUTE_FORCE_LIMIT = 20_000
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    mode: str = "auto",
+    bits: int = 8,
+    tables: int = 12,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ threshold.
 
-    Brute-force all-pairs form (correctness baseline / oracle-checked);
-    at scale, route candidates through :func:`spark_cdc.operators.ann.
-    hyperplane_lsh_buckets` first and verify only collisions.
+    ``mode``:
+
+    - ``"auto"`` (default): brute-force all-pairs below
+      ``BRUTE_FORCE_LIMIT`` rows, LSH-candidate route above — a public
+      caller on 10^8 vectors can no longer fall into the O(n²)
+      theta join by default.
+    - ``"exact"``: force the all-pairs form (the correctness baseline /
+      DuckDB oracle shape).
+    - ``"lsh"``: force the scale path — hyperplane-LSH bucket self-join
+      produces candidate pairs (equi-join on (table, bucket), never a
+      cross product), exact cosine verifies only collisions.
+      tables=12/bits=8 gives ≥0.999 candidate probability at
+      cosine ≥ 0.95 (p_plane = 1 - arccos(s)/π = 0.9 →
+      1-(1-0.9^8)^12).
     """
+    if mode == "auto":
+        mode = "exact" if df.count() <= BRUTE_FORCE_LIMIT else "lsh"
+    if mode == "lsh":
+        return _embedding_near_dup_lsh(
+            df, id_col, vec_col, threshold, bits=bits, tables=tables, seed=seed
+        )
     v = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -368,3 +409,41 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= threshold)
     )
     return pairs
+
+
+def _embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    bits: int,
+    tables: int,
+    seed: int,
+) -> DataFrame:
+    """Scale path: candidates from a hyperplane-LSH bucket self-join
+    (plain shuffle equi-join Catalyst can plan), exact numpy cosine on
+    collisions only. Cost ∝ bucket collision counts, not n²."""
+    from spark_cdc.operators import ann
+
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    b = ann.hyperplane_lsh_buckets(
+        df, dim=dim, bits=bits, seed=seed, tables=tables,
+        id_col=id_col, vec_col=vec_col,
+    ).select(F.col(id_col).alias("_id"), "v", "tbl", "bucket")
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), ["tbl", "bucket"])
+        .where(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("cosine", ann.cosine_udf()(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

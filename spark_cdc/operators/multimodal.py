@@ -52,6 +52,11 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), False),
         T.StructField("n_bytes", T.IntegerType(), True),
         T.StructField("sha256", T.StringType(), True),
+        # digest of the lowercase-hex encoding of the payload (hex is
+        # injective so this is still content-addressing); kept separate
+        # from the raw-byte sha256 because cross-engine oracles
+        # (DuckDB sha256 is VARCHAR-only) can recompute it
+        T.StructField("content_digest", T.StringType(), True),
         T.StructField("features", T.ArrayType(T.FloatType()), True),
     ]
 )
@@ -84,6 +89,11 @@ def extract_features(media: DataFrame, decode_fn: str = "fake") -> DataFrame:
                     "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0).astype("int32"),
                     "sha256": payloads.map(
                         lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
+                    ),
+                    "content_digest": payloads.map(
+                        lambda b: hashlib.sha256(b.hex().encode()).hexdigest()
+                        if b is not None
+                        else None
                     ),
                     "features": payloads.map(
                         lambda b: _fake_decode_features(b).tolist() if b is not None else None

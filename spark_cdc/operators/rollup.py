@@ -47,9 +47,17 @@ class IncrementalRollup:
         last = self.table.properties.get("last_batch_id", {}).get("rollup")
         if batch_id is not None and last is not None and batch_id <= last:
             return self.table.snapshot_id  # exactly-once skip
+        # cast each measure to its declared table type (count-style
+        # measures stay integral; a blanket long cast would silently
+        # truncate double/decimal sums per batch and drift the rollup
+        # away from the from-scratch-recompute equivalence contract)
+        decl = {f.name: f.dataType for f in self.table.user_schema.fields}
         deltas = (
             batch.groupBy(*self.group_cols)
-            .agg(*[m.cast("long").alias(name) for name, m in self.measures.items()])
+            .agg(*[
+                (m.cast(decl[name]) if name in decl else m).alias(name)
+                for name, m in self.measures.items()
+            ])
             .withColumn(BUCKET_COL, bucket_expr(self.table.bucket_column, self.table.num_buckets))
             .persist()
         )
@@ -63,7 +71,10 @@ class IncrementalRollup:
         merged = (
             current.unionByName(deltas.drop(BUCKET_COL), allowMissingColumns=True)
             .groupBy(*self.group_cols)
-            .agg(*[F.sum(name).alias(name) for name in self.measures])
+            .agg(*[
+                (F.sum(name).cast(decl[name]) if name in decl else F.sum(name)).alias(name)
+                for name in self.measures
+            ])
             .withColumn(BUCKET_COL, bucket_expr(self.table.bucket_column, self.table.num_buckets))
             .repartition(max(len(touched) // 4, 1), F.col(BUCKET_COL))
         )

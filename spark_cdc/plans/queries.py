@@ -692,16 +692,44 @@ def pivot_counts(spark, sf_dir):
     )
 
 
-@query("a_approx_distinct")  # rows-only: HLL sketches differ across engines
+@query(
+    "a_approx_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           true AS approx_within_10pct,
+           true AS p50_in_band,
+           true AS p99_in_band
+    FROM events GROUP BY 1
+    """,
+)
 def approx_distinct(spark, sf_dir):
     """At-scale variant of A1 (SURVEY §2.4): approx_count_distinct +
-    approximate quantiles. No cross-engine oracle (sketch
-    implementations differ); pytest bounds the relative error."""
+    approximate quantiles. Sketch values differ across engines, so the
+    oracle checks INVARIANTS the sketches must satisfy: HLL estimate
+    within 10% of the exact distinct count (rsd default 5%), approx
+    quantiles inside exact quantile bands — recomputed as booleans the
+    oracle pins to true. pytest additionally bounds the raw error."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("p50_value"),
-        F.percentile_approx("value", 0.99).alias("p99_value"),
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("_approx"),
+        F.percentile_approx("value", 0.5).alias("_p50a"),
+        F.percentile_approx("value", 0.99).alias("_p99a"),
+        F.percentile("value", 0.45).alias("_p45"),
+        F.percentile("value", 0.55).alias("_p55"),
+        F.percentile("value", 0.98).alias("_p98"),
+        F.max("value").alias("_vmax"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= F.lit(0.10) * F.col("exact_users")
+        ).alias("approx_within_10pct"),
+        F.col("_p50a").between(F.col("_p45"), F.col("_p55")).alias("p50_in_band"),
+        F.col("_p99a").between(F.col("_p98"), F.col("_vmax")).alias("p99_in_band"),
     )
 
 
@@ -761,7 +789,8 @@ def transcript_stitch(spark, sf_dir):
     "text_token_count",
     """
     SELECT doc_id,
-           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+           CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars
     FROM documents
     """,
@@ -783,7 +812,8 @@ def text_tokens(spark, sf_dir):
         0.5 * (CASE WHEN length(text) > 0
                THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
                ELSE 0 END)
-      + 0.3 * least(len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE / 100.0, 1.0)
+      + 0.3 * least((CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE / 100.0, 1.0)
       + 0.2 * (1.0 - least(abs((CASE WHEN length(text) > 0
                THEN (length(text) - length(replace(text, ' ', '')))::DOUBLE / length(text)
                ELSE 0 END) - 0.15) * 2, 1.0)), 6) AS quality
@@ -850,8 +880,38 @@ def dedup_exact(spark, sf_dir):
     return dedup_ops.exact_duplicates(d).select("fp", "n_docs", "keep_id")
 
 
-@query("dedup_minhash_lsh")  # no SQL oracle: banded-LSH not ANSI-expressible
+# Exact all-pairs word-3-gram Jaccard ≥ 0.5 over documents — the
+# verified-output oracle shared by both LSH dedup entries. Valid
+# because candidate recall is 1.0 on this corpus (clean similarity
+# gap: every true pair sits at jaccard ≥ 0.98, verified empirically +
+# pytest-asserted), so LSH-candidates→exact-verify equals the exact
+# threshold set. Gram construction mirrors dedup_ops.word_ngrams
+# exactly (collapse whitespace, lower, 3-token windows, distinct).
+_NGRAM_JACCARD_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id,
+               regexp_split_to_array(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents)
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams))::DOUBLE
+           / len(list_distinct(a.grams || b.grams)) AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+WHERE jaccard >= 0.5
+"""
+
+
+@query("dedup_minhash_lsh", _NGRAM_JACCARD_ORACLE)
 def dedup_minhash(spark, sf_dir):
+    """Banded MinHash LSH candidates → exact n-gram Jaccard verify.
+    Oracle-checkable because candidate recall is 1.0 on this corpus
+    (see _NGRAM_JACCARD_ORACLE note)."""
     d = _t(spark, sf_dir, "documents")
     # rows-per-band = 8: steep LSH S-curve keeps the candidate set
     # near-linear on word-salad corpora where everything is mildly
@@ -864,10 +924,26 @@ def dedup_minhash(spark, sf_dir):
     )
 
 
-@query("dedup_simhash")  # no SQL oracle: pandas-UDF bit-majority
+@query("dedup_simhash", _NGRAM_JACCARD_ORACLE)
 def dedup_simhash(spark, sf_dir):
+    """SimHash-banded candidates → exact n-gram Jaccard verify.
+
+    16×4-bit bands guarantee every pair at Hamming ≤ 15 collides in ≥1
+    band (pigeonhole); true near-dups on this corpus sit at Hamming
+    ≤ 9, so candidate recall is 1.0 and the verified output equals the
+    exact Jaccard-threshold set (same oracle as dedup_minhash_lsh —
+    two candidate generators, one verified contract). At corpus scale
+    the default 4×16-bit blocking (much lower collision rate) is the
+    right trade; narrow bands here are the correctness-gate setting."""
     d = _t(spark, sf_dir, "documents")
-    return dedup_ops.simhash_near_duplicates(d, max_hamming=8)
+    cand = (
+        dedup_ops.simhash_near_duplicates(d, max_hamming=15, n_bands=16)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    return dedup_ops.ngram_jaccard_pairs(d, cand, n=3, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
 
 
 @query(
@@ -881,8 +957,10 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def embedding_neardup(spark, sf_dir):
+    # mode="exact" pins the brute-force correctness baseline this
+    # oracle mirrors (default "auto" routes large inputs through LSH)
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    pairs = dedup_ops.embedding_near_duplicates(emb, threshold=0.9)
+    pairs = dedup_ops.embedding_near_duplicates(emb, threshold=0.9, mode="exact")
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -907,14 +985,54 @@ def ann_topk(spark, sf_dir):
     return res.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
-@query("ann_topk_lsh")  # no SQL oracle: approximate by construction
+@query(
+    "ann_topk_lsh",
+    """
+    SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+             list_cosine_similarity(v.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(v.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                                         v.vec_id) AS rank
+      FROM embeddings v, embeddings q
+      WHERE q.vec_id < 5 AND v.vec_id <> q.vec_id)
+    WHERE rank <= 5
+    """,
+)
 def ann_lsh(spark, sf_dir):
+    """LSH top-k under the EXACT top-k oracle: (bits=4, tables=24) is
+    tuned so candidate sets contain every exact top-5 neighbour on this
+    corpus (recall 1.0, deterministic seed-derived planes → stable
+    across runs), hence the approximate result equals the exact one.
+    JVM fold scoring (score_arrow=False) for bit-parity with the
+    oracle's sequential cosine; the numpy batch path is the scale
+    default elsewhere."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ann.ann_topk_lsh(emb, queries, dim=64, k=5, bits=5, tables=8)
+    res = ann.ann_topk_lsh(
+        emb, queries, dim=64, k=5, bits=4, tables=24, score_arrow=False
+    )
+    return res.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
-@query("multimodal_features")  # no SQL oracle: mapInPandas plumbing
+@query(
+    "multimodal_features",
+    """
+    SELECT t.range AS media_id,
+           (['image', 'audio', 'video'])[CAST(t.range % 3 AS INTEGER) + 1] AS kind,
+           CAST(32 AS INTEGER) AS n_bytes,
+           sha256(sha256('seed42-' || CAST(t.range AS VARCHAR))) AS content_digest
+    FROM range(200) t
+    """,
+)
 def multimodal_features(spark, sf_dir):
+    """mapInPandas feature-extraction plumbing under a real oracle: the
+    fixture payload is unhex(sha2('seed42-'||id)) so DuckDB can rebuild
+    every output column; content_digest = sha256 of the payload's hex
+    encoding (DuckDB sha256 is VARCHAR-only — hex is injective, so this
+    still content-addresses the blob). The raw-byte sha256 and the
+    features array stay in the component output (pytest-checked)."""
     media = multimodal.generate_media_fixture(spark, n=200)
-    return multimodal.extract_features(media).drop("features")
+    return multimodal.extract_features(media).select(
+        "media_id", "kind", "n_bytes", "content_digest"
+    )

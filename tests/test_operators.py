@@ -46,6 +46,44 @@ def test_simhash_near_duplicates(spark, docs):
     assert (1, 601) in pairs
 
 
+def test_simhash_deterministic_golden(spark):
+    """Signatures are JVM-xxhash64-derived: identical across processes,
+    executors and replays. Golden values pin cross-run stability (the
+    round-1 implementation used per-process-seeded Python hash() and
+    would fail this on any PYTHONHASHSEED change)."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["simhash"] for r in dedup_ops.simhash(df).collect()}
+    assert got == {1: -7573889167326994222, 2: 2495353224988115078}
+
+
+def test_embedding_near_dup_lsh_route(spark):
+    """The scale path: planted twin found through LSH candidates, and
+    the plan contains no cartesian/nested-loop product."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    twin = spark.createDataFrame([(900, [float(x) for x in first], 99)], emb.schema)
+    vecs = emb.unionByName(twin)
+    nd = dedup_ops.embedding_near_duplicates(vecs, threshold=0.999, mode="lsh")
+    plan = nd._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert {(r["id_a"], r["id_b"]) for r in nd.collect()} == {(0, 900)}
+
+
+def test_embedding_near_dup_auto_routes_by_size(spark):
+    """auto mode: small inputs take the exact form; the threshold
+    constant guards the public entry against accidental O(n²)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    out = dedup_ops.embedding_near_duplicates(emb, threshold=0.999, mode="auto")
+    assert out.count() == 0  # no dups among 50 random vectors
+    assert dedup_ops.BRUTE_FORCE_LIMIT <= 100_000
+
+
 def test_embedding_near_duplicates_and_ann(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     first = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
@@ -78,6 +116,49 @@ def test_ann_lsh_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall degenerate: {recall}"
+
+
+def test_ann_lsh_dim768_scale(spark):
+    """Production-dim check: 20k vectors × dim 768 with planted
+    clusters. The signature path is one numpy matmul per Arrow batch
+    (the round-1 literal-array plane encoding built dim×bits×tables
+    Catalyst literals — ~61k nodes at this shape — and died in
+    analysis). Recall ≥ 0.9 vs a numpy brute-force oracle, and the
+    whole thing finishes in seconds."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    dim, n_clusters, per_cluster, k = 768, 20, 1000, 5
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((n_clusters, dim))
+    noise = rng.standard_normal((n_clusters * per_cluster, dim)) * 0.15
+    M = np.repeat(base, per_cluster, axis=0) + noise  # (20k, dim)
+    ids = np.arange(len(M))
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": [row.tolist() for row in M]})
+    vecs = spark.createDataFrame(pdf)
+
+    q_ids = [0, 1000, 5000, 12000, 19999]
+    # exact top-k oracle in numpy (cosine, excluding self)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    exact = set()
+    for qid in q_ids:
+        sims = Mn @ Mn[qid]
+        sims[qid] = -np.inf
+        top = np.argpartition(-sims, k)[:k]
+        exact |= {(qid, int(v)) for v in top}
+
+    queries = vecs.where(F.col("vec_id").isin(q_ids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.monotonic()
+    approx = ann.ann_topk_lsh(vecs, queries, dim=dim, k=k, bits=10, tables=8)
+    got = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    elapsed = time.monotonic() - t0
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"recall {recall} at dim 768"
+    assert elapsed < 120, f"ANN LSH at dim 768 took {elapsed:.0f}s"
 
 
 def test_multimodal_plumbing(spark):
