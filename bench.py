@@ -114,16 +114,18 @@ def run_replay(spark, sf: float, n_events: int, n_convs: int, mode: str = "mor")
     step = n_events // N_BATCHES
     t0 = time.monotonic()
     applied = 0
+    phase_rows = []
     for i in range(N_BATCHES):
         lo, hi = i * step, (i + 1) * step if i < N_BATCHES - 1 else n_events
         batch = log.where((F.col("lsn") >= lo) & (F.col("lsn") < hi))
         # bulk-replay fast path: minimal Spark jobs per batch (uniform
         # batches touch every bucket anyway, so the pruning pre-pass
         # would buy nothing)
-        apply_batch(
+        res = apply_batch(
             table, batch, batch_id=i, mode=mode,
             collect_lineage=False, collect_stats=False,
         )
+        phase_rows.append(res.phases)
         applied += hi - lo
     elapsed = time.monotonic() - t0
     t1 = time.monotonic()
@@ -141,6 +143,14 @@ def run_replay(spark, sf: float, n_events: int, n_convs: int, mode: str = "mor")
         "compacted_buckets": len(compacted),
         "events_per_sec_incl_compact": round(applied / (elapsed + compact_sec), 1),
         "final_rows": final_rows,
+        # per-phase wall per micro-batch (SURVEY §7 Phase 6): exec =
+        # the write action running the dedup+merge plan; plan = driver
+        # plan construction + scheduling residual; commit = manifest
+        "phase_ms_per_batch": phase_rows,
+        "phase_ms_total": {
+            k: round(sum(p.get(k, 0.0) for p in phase_rows), 1)
+            for k in ("stats_ms", "exec_ms", "commit_ms", "plan_ms")
+        },
     }
 
 

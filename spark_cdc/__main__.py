@@ -43,6 +43,7 @@ def main(argv: list[str] | None = None) -> int:
     p_stream.add_argument("--table", required=True)
     p_stream.add_argument("--checkpoint", required=True)
     p_stream.add_argument("--metrics", help="metrics lake table root")
+    p_stream.add_argument("--quarantine", help="dead-letter lake table root")
     p_stream.add_argument("--continuous", action="store_true")
     p_stream.add_argument("--num-buckets", type=int, default=64)
     p_stream.add_argument("--max-files-per-trigger", type=int, default=None)
@@ -100,12 +101,18 @@ def main(argv: list[str] | None = None) -> int:
 
         table = open_table(args.num_buckets)
         metrics = MetricsLog(spark, args.metrics) if args.metrics else None
+        quarantine = None
+        if args.quarantine:
+            from spark_cdc.cdc.quarantine import DeadLetterSink
+
+            quarantine = DeadLetterSink(spark, args.quarantine)
         runner = StreamRunner(
             spark,
             table,
             args.source,
             args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
+            quarantine=quarantine,
             on_batch=(
                 (lambda bid, res: metrics.record(res, source_id="stream", batch_id=bid))
                 if metrics
@@ -113,8 +120,44 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )
         if args.continuous:
+            import signal
+
             q = runner.start_continuous()
+
+            # graceful shutdown (reference consumer.py:111-139 installed
+            # SIGINT/SIGTERM handlers): stop() lets the in-flight
+            # micro-batch finish and the checkpoint commit, so restart
+            # resumes exactly where we left off — no reliance on the
+            # redelivery guard for a ROUTINE shutdown.
+            # The handler must ONLY set a flag: the main thread is
+            # blocked inside a py4j recv (awaitTermination), and a py4j
+            # call from the handler would interleave on that same
+            # socket and corrupt the protocol. PEP 475 retries the
+            # interrupted recv after the handler returns, so the short
+            # poll below wakes, sees the flag, and stops the query from
+            # a clean call site.
+            stop_requested: list[int] = []
+
+            def _flag(signum, frame):
+                stop_requested.append(signum)
+
+            signal.signal(signal.SIGTERM, _flag)
+            signal.signal(signal.SIGINT, _flag)
+            while not stop_requested and q.isActive:
+                q.awaitTermination(1.0)
+            if stop_requested:
+                q.stop()
             q.awaitTermination()
+            print(
+                json.dumps(
+                    {
+                        "stopped": True,
+                        "batches": len(runner.results),
+                        "snapshot_id": table.snapshot_id,
+                        "rows": table.read().count(),
+                    }
+                )
+            )
         else:
             runner.run_available()
             print(

@@ -52,6 +52,8 @@ def apply_batch(
     batch_id: int | None = None,
     source_id: str = "default",
     normalize: dict[str, Column] | None = None,
+    quarantine=None,
+    quarantine_rules=None,
     **merge_kwargs,
 ) -> MergeResult:
     """Apply one micro-batch of change events to a LakeTable.
@@ -60,9 +62,44 @@ def apply_batch(
     (e.g. ``{"text": normalize_text(col("text"))}``) applied before the
     merge — the vectorized stand-in for the reference's per-row
     transform layer (/root/reference/etl/core/pipeline.py:54-121).
+
+    ``quarantine`` (a :class:`spark_cdc.cdc.quarantine.DeadLetterSink`)
+    routes rows violating envelope invariants to the dead-letter table
+    instead of merging them; ``quarantine_rules`` overrides the default
+    envelope rules. No quarantine sink → all rows go to the merge
+    (caller's responsibility), but nothing is ever fabricated (contrast:
+    reference processor.py:66-68 turned malformed numerics into 1.0).
     """
     for col_name, expr in (normalize or {}).items():
         changes = changes.withColumn(col_name, expr)
+    if quarantine is not None:
+        from spark_cdc.cdc.quarantine import default_envelope_rules, split_quarantine
+
+        rules = quarantine_rules or default_envelope_rules(table.key_columns)
+        changes, bad = split_quarantine(changes, rules)
+        quarantine.record(bad, source_id=source_id, batch_id=batch_id)
     return merge_changes(
         table, changes, batch_id=batch_id, source_id=source_id, **merge_kwargs
     )
+
+
+def apply_batch_routed(
+    tables: dict[str, LakeTable],
+    changes: DataFrame,
+    table_col: str = "_table",
+    batch_id: int | None = None,
+    **kwargs,
+) -> dict[str, MergeResult]:
+    """Table router (SURVEY §2.7 C2): one multi-table change batch —
+    e.g. :func:`spark_cdc.cdc.envelope.parse_kafka_frames` output with
+    its topic-derived ``_table`` column — dispatched to each target
+    table's merge (reference: stream_etl/core/consumer.py:64-82 routed
+    per message in Python; here it is one filter per table over one
+    plan). The per-table exactly-once batch-id guard still applies:
+    each table tracks its own last committed batch id.
+    """
+    results: dict[str, MergeResult] = {}
+    for name, tbl in tables.items():
+        sub = changes.where(F.col(table_col) == name).drop(table_col)
+        results[name] = apply_batch(tbl, sub, batch_id=batch_id, **kwargs)
+    return results

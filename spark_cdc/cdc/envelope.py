@@ -67,6 +67,60 @@ RAW_JSON_SCHEMA = T.StructType(
 )
 
 
+# The exact frame shape ``spark.readStream.format("kafka")`` produces
+# (Kafka jar absent in this sandbox; the parse/routing layer below is
+# what that source would feed and is tested against static frames).
+KAFKA_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("topic", T.StringType(), True),
+        T.StructField("partition", T.IntegerType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+    ]
+)
+
+
+def parse_kafka_frames(
+    df: DataFrame,
+    topic_table_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """Kafka frame batch → typed envelope + ``_table`` routing column.
+
+    The reference's consumer deserialized each message in Python and
+    routed on topic suffix (stream_etl/core/consumer.py:64-82,
+    main.py:52-56); here the whole step is one Column projection:
+    ``value`` bytes → ``from_json`` → envelope normalization, with
+    ``lsn`` defaulting to the Kafka offset (the reference relied on
+    offsets implicitly, consumer.py:95-105) and the broker timestamp
+    backfilling a missing event ``ts``. ``topic_table_map`` maps topic
+    → table name; unmapped topics keep their last dot-segment
+    (Debezium ``server.schema.table`` convention).
+    """
+    parsed = df.select(
+        F.from_json(F.col("value").cast("string"), RAW_JSON_SCHEMA).alias("e"),
+        F.col("topic"),
+        F.col("offset").alias("_kafka_offset"),
+        F.col("timestamp").alias("_kafka_ts"),
+    ).select("e.*", "topic", "_kafka_offset", "_kafka_ts")
+    enriched = (
+        parsed.withColumn("lsn", F.coalesce(F.col("lsn"), F.col("_kafka_offset")))
+        .withColumn("op_seq", F.coalesce(F.col("op_seq"), F.col("_kafka_offset")))
+        .withColumn(
+            "ts",
+            F.coalesce(parse_timestamp_any(F.col("ts")), F.col("_kafka_ts")).cast("string"),
+        )
+    )
+    table_col = F.element_at(F.split(F.col("topic"), r"\."), -1)
+    if topic_table_map:
+        mapping = F.create_map(*[F.lit(x) for kv in topic_table_map.items() for x in kv])
+        table_col = F.coalesce(mapping[F.col("topic")], table_col)
+    return normalize_envelope(
+        enriched.withColumn("_table", table_col), extra_cols=("_table",)
+    )
+
+
 def parse_envelope_json(df: DataFrame, value_col: str = "value") -> DataFrame:
     """Parse raw JSON change events into the typed envelope.
 
@@ -83,7 +137,7 @@ def parse_envelope_json(df: DataFrame, value_col: str = "value") -> DataFrame:
     return normalize_envelope(parsed)
 
 
-def normalize_envelope(df: DataFrame) -> DataFrame:
+def normalize_envelope(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     out = (
         df.withColumn("op", F.coalesce(F.col("op"), F.lit("c")))
         .withColumn("op", F.when(F.col("op") == "r", F.lit("c")).otherwise(F.col("op")))
@@ -92,4 +146,6 @@ def normalize_envelope(df: DataFrame) -> DataFrame:
         .withColumn("op_seq", F.col("op_seq").cast("long"))
         .withColumn("turn_idx", F.col("turn_idx").cast("int"))
     )
-    return out.select([f.name for f in CHANGE_SCHEMA.fields if f.name in out.columns])
+    keep = [f.name for f in CHANGE_SCHEMA.fields if f.name in out.columns]
+    keep += [c for c in extra_cols if c in out.columns]
+    return out.select(keep)

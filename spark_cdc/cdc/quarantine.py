@@ -1,0 +1,123 @@
+"""Dead-letter routing for malformed change events (SURVEY.md §4 trap 3).
+
+The reference *fabricated* data on parse failure — ``_parse_numeric``
+falls back to ``1.0`` (/root/reference/stream_etl/core/processor.py:66-68)
+— so malformed rows silently became plausible-looking facts. This
+engine's policy is the opposite: tolerant parsers yield **null**
+(spark_cdc/functions/parsers.py), and this module routes rows that
+violate envelope invariants into a quarantine lake table with full
+source lineage (source_id, batch_id, reason, the raw row as JSON)
+instead of letting them reach the main table or be silently dropped.
+
+The split is one declarative projection (a CASE chain over boolean
+rules) evaluated once; good rows continue into the merge, bad rows are
+appended to the quarantine table — both sides of one plan, no per-row
+Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_cdc.lake.table import LakeTable
+
+REASON_COL = "_q_reason"
+
+QUARANTINE_SCHEMA = T.StructType(
+    [
+        T.StructField("source_id", T.StringType(), True),
+        T.StructField("batch_id", T.LongType(), True),
+        T.StructField("reason", T.StringType(), False),
+        T.StructField("lsn", T.LongType(), True),
+        T.StructField("op_seq", T.LongType(), True),
+        T.StructField("raw", T.StringType(), True),  # offending row as JSON
+    ]
+)
+
+VALID_OPS = ("c", "r", "u", "d")
+
+
+def default_envelope_rules(key_columns: list[str]) -> list[tuple[str, Column]]:
+    """Ordered (reason, is_bad) rules for the CDC envelope — first
+    matching reason wins. Violations the merge cannot repair:
+
+    - a null merge key can never be upserted correctly;
+    - an unknown op would be mis-routed;
+    - a null version timestamp breaks latest-version-wins ordering
+      (the reference's row would have been inserted with a fabricated
+      ``now()``; we quarantine instead).
+    """
+    rules: list[tuple[str, Column]] = [
+        (f"null_key:{k}", F.col(k).isNull()) for k in key_columns
+    ]
+    rules.append(
+        ("invalid_op", ~F.coalesce(F.col("op"), F.lit("c")).isin(*VALID_OPS))
+    )
+    rules.append(("unparseable_ts", F.col("ts").isNull()))
+    return rules
+
+
+def split_quarantine(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` into (good, bad) by the first matching rule; ``bad``
+    carries ``_q_reason``. One projection, evaluated inside whatever
+    plan consumes each side."""
+    reason = F.lit(None).cast("string")
+    for name, is_bad in reversed(rules):
+        reason = F.when(is_bad, F.lit(name)).otherwise(reason)
+    flagged = df.withColumn(REASON_COL, reason)
+    good = flagged.where(F.col(REASON_COL).isNull()).drop(REASON_COL)
+    bad = flagged.where(F.col(REASON_COL).isNotNull())
+    return good, bad
+
+
+class DeadLetterSink:
+    """Quarantine lake table: append-only, queryable like any other
+    table (``sink.read()``), so operators can inspect / replay
+    dead-lettered rows after fixing the producer."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        if LakeTable.exists(path):
+            self.table = LakeTable.load(spark, path)
+        else:
+            self.table = LakeTable.create(spark, path, QUARANTINE_SCHEMA)
+
+    def record(
+        self,
+        bad: DataFrame,
+        source_id: str = "default",
+        batch_id: int | None = None,
+    ) -> int:
+        """Append flagged rows (from :func:`split_quarantine`) with
+        lineage. The raw row is preserved verbatim as JSON — zero data
+        loss, zero fabrication. Clean batches (the common case) commit
+        nothing: the emptiness probe is a LIMIT-1 scan, far cheaper
+        than snapshot churn on every micro-batch."""
+        if bad.isEmpty():
+            return self.table.snapshot_id
+        payload_cols = [c for c in bad.columns if c != REASON_COL]
+        out = bad.select(
+            F.lit(source_id).alias("source_id"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.col(REASON_COL).alias("reason"),
+            *(
+                [F.col("lsn").cast("long").alias("lsn")]
+                if "lsn" in bad.columns
+                else [F.lit(None).cast("long").alias("lsn")]
+            ),
+            *(
+                [F.col("op_seq").cast("long").alias("op_seq")]
+                if "op_seq" in bad.columns
+                else [F.lit(None).cast("long").alias("op_seq")]
+            ),
+            F.to_json(F.struct(*[F.col(c) for c in payload_cols])).alias("raw"),
+        )
+        return self.table.append(
+            out, summary={"operation": "quarantine", "source_id": source_id, "batch_id": batch_id}
+        )
+
+    def read(self) -> DataFrame:
+        return self.table.read()

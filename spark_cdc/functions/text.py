@@ -80,13 +80,19 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def marker_pattern(words: list[str]) -> str:
+    """One alternation regex per language: a single scan counts every
+    marker word (the round-1 form ran one regex pass per word — 25
+    passes per row). Note the single-pass form consumes the trailing
+    space of a match, so two ADJACENT marker words of the same
+    language count once — a deterministic property shared with the
+    DuckDB oracle, which uses the identical pattern."""
+    return rf"(^|\s)({'|'.join(words)})(\s|$)"
+
+
 def _marker_hits(c: Column, words: list[str]) -> Column:
     t = F.lower(F.coalesce(c, F.lit("")))
-    hits = None
-    for w in words:
-        h = F.regexp_count(t, F.lit(rf"(^|\s){w}(\s|$)"))
-        hits = h if hits is None else hits + h
-    return hits
+    return F.regexp_count(t, F.lit(marker_pattern(words)))
 
 
 def lang_id(c: Column) -> Column:

@@ -72,6 +72,11 @@ class MergeResult:
     max_lsn: int | None = None
     wall_ms: float = 0.0
     partition_lineage: list[dict[str, Any]] = field(default_factory=list)
+    # per-phase wall times: stats_ms (batch stats/lineage pre-pass, 0 on
+    # the bulk fast path), exec_ms (the write action executing the full
+    # dedup+resolve plan), commit_ms (manifest fsync + pointer swap),
+    # plan_ms (driver-side plan construction = the py4j remainder)
+    phases: dict[str, float] = field(default_factory=dict)
 
 
 def merge_changes(
@@ -177,8 +182,10 @@ def merge_changes(
     )
     if collect_stats:
         winners = winners.persist()
+    stats_ms = 0.0
     try:
         if collect_stats:
+            t_stats = time.monotonic()
             # batch stats + per-partition lineage + touched buckets in
             # ONE driver-side aggregation pass
             group = [F.col("_pid")] if collect_lineage else [F.lit(0).alias("_pid")]
@@ -213,6 +220,7 @@ def merge_changes(
                 if collect_lineage
                 else []
             )
+            stats_ms = (time.monotonic() - t_stats) * 1000
         else:
             # bulk-replay fast path: no pre-pass job — every bucket is
             # assumed touched (true for uniformly-keyed bulk batches),
@@ -279,6 +287,7 @@ def merge_changes(
                 partition_lineage=lineage,
             )
             res.wall_ms = (time.monotonic() - t0) * 1000
+            res.phases = _phases(stats_ms, table, res.wall_ms)
             return res
 
         # -- resolve against current content of touched buckets only
@@ -404,10 +413,25 @@ def merge_changes(
             partition_lineage=lineage,
         )
         res.wall_ms = (time.monotonic() - t0) * 1000
+        res.phases = _phases(stats_ms, table, res.wall_ms)
         return res
     finally:
         if collect_stats:
             winners.unpersist()
+
+
+def _phases(stats_ms: float, table: LakeTable, wall_ms: float) -> dict[str, float]:
+    """Per-phase breakdown of one merge: the residual (plan_ms) is
+    driver-side py4j plan construction + scheduling — the fixed cost
+    the bulk-replay path amortizes."""
+    exec_ms = getattr(table, "last_write_ms", 0.0)
+    commit_ms = getattr(table, "last_commit_ms", 0.0)
+    return {
+        "stats_ms": round(stats_ms, 1),
+        "exec_ms": round(exec_ms, 1),
+        "commit_ms": round(commit_ms, 1),
+        "plan_ms": round(max(wall_ms - stats_ms - exec_ms - commit_ms, 0.0), 1),
+    }
 
 
 def _record_batch(table: LakeTable, batch_id: int | None, source_id: str) -> None:

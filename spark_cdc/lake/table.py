@@ -94,6 +94,10 @@ class LakeTable:
         self.spark = spark
         self.path = path
         self.manifest = manifest
+        # wall time of the most recent data-write Spark action / manifest
+        # commit — per-phase lineage for MergeResult.phases and bench
+        self.last_write_ms = 0.0
+        self.last_commit_ms = 0.0
 
     # ------------------------------------------------------------- create/load
     @staticmethod
@@ -395,7 +399,12 @@ class LakeTable:
 
     def _write_data(self, df: DataFrame, snapshot_id: int) -> dict[str, list[str]]:
         """Write df (with ``_bucket``) partitioned by bucket; return
-        relative file paths per bucket."""
+        relative file paths per bucket. Wall time of the write job (the
+        Spark action that executes the whole merge plan) is recorded in
+        ``last_write_ms`` for per-phase lineage/bench reporting."""
+        import time as _time
+
+        t0 = _time.monotonic()
         rel_dir = os.path.join(DATA_DIR, f"snap{snapshot_id}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
         if self.key_columns:
@@ -416,6 +425,7 @@ class LakeTable:
                 for f in sorted(os.listdir(bdir))
                 if f.endswith(".parquet")
             ]
+        self.last_write_ms = (_time.monotonic() - t0) * 1000
         return files
 
     def _commit_next(
@@ -444,6 +454,9 @@ class LakeTable:
         self._commit(manifest)
 
     def _commit(self, manifest: dict[str, Any]) -> None:
+        import time as _time
+
+        t0 = _time.monotonic()
         snap_id = manifest["snapshot_id"]
         snap_path = os.path.join(self.path, META_DIR, f"snap-{snap_id}.json")
         with open(snap_path, "w") as f:
@@ -457,6 +470,7 @@ class LakeTable:
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.path, META_DIR, VERSION_FILE))
         self.manifest = manifest
+        self.last_commit_ms = (_time.monotonic() - t0) * 1000
 
     def _read_manifest(self, snap_id: int) -> dict[str, Any]:
         with open(os.path.join(self.path, META_DIR, f"snap-{snap_id}.json")) as f:

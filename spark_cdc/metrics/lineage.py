@@ -33,6 +33,13 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("rows_written", T.LongType(), True),
         T.StructField("files_written", T.LongType(), True),
         T.StructField("wall_ms", T.DoubleType(), True),
+        # per-phase breakdown of the batch merge (SURVEY §7 Phase 6):
+        # stats pre-pass / plan execution (write) / manifest commit /
+        # driver-side plan construction residual
+        T.StructField("stats_ms", T.DoubleType(), True),
+        T.StructField("exec_ms", T.DoubleType(), True),
+        T.StructField("commit_ms", T.DoubleType(), True),
+        T.StructField("plan_ms", T.DoubleType(), True),
     ]
 )
 
@@ -62,6 +69,10 @@ class MetricsLog:
                 None,
                 None,
                 None,
+                None,
+                None,
+                None,
+                None,
             )
             for p in res.partition_lineage
         ]
@@ -79,6 +90,10 @@ class MetricsLog:
                 res.rows_written,
                 res.files_written,
                 res.wall_ms,
+                res.phases.get("stats_ms"),
+                res.phases.get("exec_ms"),
+                res.phases.get("commit_ms"),
+                res.phases.get("plan_ms"),
             )
         )
         df = self.spark.createDataFrame(rows, METRICS_SCHEMA)

@@ -826,13 +826,17 @@ def text_quality(spark, sf_dir):
 
 
 def _lang_oracle() -> str:
+    from spark_cdc.functions.text import marker_pattern
+
     score_exprs = []
     for lang, words in sorted(LANG_MARKERS.items()):
-        terms = " + ".join(
-            f"len(regexp_extract_all(lower(coalesce(text, '')), '(^|\\s){w}(\\s|$)'))"
-            for w in words
+        # same single-pass alternation as the Spark side (one regex per
+        # language) so match-consumption semantics agree exactly
+        # (SQL single-quoted literals keep backslashes verbatim)
+        pat = marker_pattern(words)
+        score_exprs.append(
+            f"len(regexp_extract_all(lower(coalesce(text, '')), '{pat}')) AS s_{lang}"
         )
-        score_exprs.append(f"({terms}) AS s_{lang}")
     langs = sorted(LANG_MARKERS)
     best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
     case = "CASE WHEN " + best + " = 0 THEN 'und' "

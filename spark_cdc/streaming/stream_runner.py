@@ -50,6 +50,7 @@ class StreamRunner:
         max_files_per_trigger: int | None = None,
         normalize: dict | None = None,
         on_batch: Callable[[int, object], None] | None = None,
+        quarantine=None,
     ):
         self.spark = spark
         self.table = table
@@ -61,6 +62,7 @@ class StreamRunner:
         self.max_files_per_trigger = max_files_per_trigger
         self.normalize = normalize
         self.on_batch = on_batch
+        self.quarantine = quarantine
         self.results: list = []
 
     def _reader(self):
@@ -79,6 +81,7 @@ class StreamRunner:
             batch_id=batch_id,
             source_id=self.source_id,
             normalize=self.normalize,
+            quarantine=self.quarantine,
         )
         self.results.append(res)
         if self.on_batch:
