@@ -236,20 +236,46 @@ def merge_changes(
 
         if mode == "mor":
             gen = table.snapshot_id + 1
-            delta = (
-                winners.select(
-                    *user_cols,
-                    F.col(f"{V_TS}").alias(V_TS),
-                    F.col(f"{V_SEQ}").alias(V_SEQ),
-                    (F.col("__op") == F.lit(delete_op)).alias(V_DEL),
-                    F.lit(gen).cast("long").alias(V_GEN),
+            if collect_stats:
+                # winners already computed (shared with the stats pass):
+                # one more exchange aligns output files with buckets
+                delta = (
+                    winners.select(
+                        *user_cols,
+                        F.col(f"{V_TS}").alias(V_TS),
+                        F.col(f"{V_SEQ}").alias(V_SEQ),
+                        (F.col("__op") == F.lit(delete_op)).alias(V_DEL),
+                        F.lit(gen).cast("long").alias(V_GEN),
+                    )
+                    .withColumn(BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets))
+                    .repartition(len(touched), F.col(BUCKET_COL))
                 )
-                .withColumn(BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets))
-                .repartition(
-                    len(touched) if collect_stats else table.num_buckets,
-                    F.col(BUCKET_COL),
+            else:
+                # bulk fast path — ONE exchange: shuffle raw rows once on
+                # the bucket, then dedup with groupBy(bucket, key); since
+                # bucket ⊆ group keys, HashPartitioning(bucket) satisfies
+                # the clustering requirement and the aggregation runs
+                # in-place with each task holding exactly one bucket at
+                # write time (the same plan shape as the CoW fast path
+                # below — raw rows compete directly, lsn breaking
+                # intra-batch ties via batch_ord)
+                delta = (
+                    src.withColumn(
+                        BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets)
+                    )
+                    .repartition(table.num_buckets, F.col(BUCKET_COL))
+                    .groupBy(BUCKET_COL, *[F.col(k) for k in keys])
+                    .agg(F.max_by(win_payload, batch_ord).alias("w"))
+                    .select(
+                        BUCKET_COL,
+                        *keys,
+                        *[F.col(f"w.{c}").alias(c) for c in payload_cols if c not in keys],
+                        F.col(f"w.{V_TS}").alias(V_TS),
+                        F.col(f"w.{V_SEQ}").alias(V_SEQ),
+                        (F.col("w.__op") == F.lit(delete_op)).alias(V_DEL),
+                        F.lit(gen).cast("long").alias(V_GEN),
+                    )
                 )
-            )
             props = dict(table.properties)
             if batch_id is not None:
                 lb = dict(props.get("last_batch_id", {}))

@@ -75,17 +75,20 @@ def cosine_topk(
     product for bit-exact DuckDB-oracle parity; ``True`` switches to
     the numpy batch path (preferred at dim ≥ a few hundred).
     """
+    # norms are materialized per side BEFORE the cross join — inside the
+    # join they would be re-evaluated once per (query, vector) pair
+    # (a q× blowup of the big-side norm scans)
     base = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).withColumn("vnorm", _norm(F.col("v")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q")
-    )
+    ).withColumn("qnorm", _norm(F.col("q")))
     joined = base.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
     if score_arrow:
         cos = cosine_udf()(F.col("v"), F.col("q"))
     else:
-        cos = F.try_divide(_dot(F.col("v"), F.col("q")), _norm(F.col("v")) * _norm(F.col("q")))
+        cos = F.try_divide(_dot(F.col("v"), F.col("q")), F.col("vnorm") * F.col("qnorm"))
     scored = joined.select("query_id", "vec_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

@@ -781,6 +781,121 @@ def transcript_stitch(spark, sf_dir):
     )
 
 
+@query(
+    "cdc_replay_mor_table",
+    """
+    SELECT conv_id, turn_idx, text, ts
+    FROM (
+      SELECT concat('u', user_id) AS conv_id,
+             CAST(event_id % 20 AS INTEGER) AS turn_idx,
+             event_type AS text, ts,
+             CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END AS op,
+             row_number() OVER (
+               PARTITION BY concat('u', user_id), CAST(event_id % 20 AS INTEGER)
+               ORDER BY ts DESC, event_id DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def cdc_replay_mor_table(spark, sf_dir):
+    """The STORAGE ENGINE itself under the driver oracle: the same
+    change log as cdc_replay_final_state is merged through a real
+    LakeTable in merge-on-read mode — 4 interleaved micro-batches
+    (merge order is immaterial: latest-version-wins is a total order
+    per key), delta appends, compaction folding multi-generation rows,
+    then a snapshot read. cdc_replay_final_state checks the replay
+    ALGEBRA; this entry checks manifests, tombstones, delta resolution
+    and compaction against the identical SQL oracle."""
+    import tempfile
+
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.lake.maintenance import compact
+    from spark_cdc.lake.table import LakeTable
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("event_id").alias("op_seq"),
+        F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("c")).alias("op"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        F.pmod("event_id", F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("text"),
+        F.col("ts"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="spark_cdc_contract_mor_") + "/t"
+    table = LakeTable.create(spark, path, schema, key_columns=["conv_id", "turn_idx"], num_buckets=8)
+    for i in range(4):
+        apply_batch(
+            table,
+            log.where(F.pmod("lsn", F.lit(4)) == i),
+            batch_id=i,
+            mode="mor",
+            collect_lineage=False,
+        )
+    compact(table, drop_tombstones=True)
+    return table.read().select("conv_id", "turn_idx", "text", "ts")
+
+
+@query(
+    "rollup_incremental_state",
+    """
+    SELECT user_id,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS views,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS clicks,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS spend
+    FROM events GROUP BY 1
+    """,
+)
+def rollup_incremental(spark, sf_dir):
+    """A9 (SummingMergeTree analogue) under the driver oracle: the
+    rollup is MAINTAINED incrementally over 4 disjoint batches into a
+    lake table (additive deltas, add-merge, exactly-once), and the
+    final state must equal the from-scratch SQL aggregate — the
+    equivalence contract as a driver-checked row."""
+    import tempfile
+
+    from spark_cdc.lake.table import LakeTable
+    from spark_cdc.operators.rollup import IncrementalRollup
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("views", T.LongType(), True),
+            T.StructField("clicks", T.LongType(), True),
+            T.StructField("spend", T.DoubleType(), True),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="spark_cdc_contract_rollup_") + "/t"
+    table = LakeTable.create(spark, path, schema, key_columns=["user_id"], num_buckets=8)
+    rollup = IncrementalRollup(
+        table,
+        ["user_id"],
+        {
+            "views": F.count(F.when(F.col("event_type") == "view", 1)),
+            "clicks": F.count(F.when(F.col("event_type") == "click", 1)),
+            "spend": F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0))
+            ),
+        },
+    )
+    for i in range(4):
+        rollup.apply_batch(ev.where(F.pmod("event_id", F.lit(4)) == i), batch_id=i)
+    return rollup.read().select(
+        "user_id", "views", "clicks", F.round("spend", 2).alias("spend")
+    )
+
+
 # =====================================================================
 # Text analysis / dedup family / ANN (training-data operators)
 # =====================================================================

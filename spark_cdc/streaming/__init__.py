@@ -1,5 +1,6 @@
 """spark_cdc.streaming — Structured Streaming CDC ingestion."""
 
+from spark_cdc.streaming.sessionize import sessionize_batch, sessionize_stream
 from spark_cdc.streaming.stream_runner import StreamRunner
 
-__all__ = ["StreamRunner"]
+__all__ = ["StreamRunner", "sessionize_batch", "sessionize_stream"]
