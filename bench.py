@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "text_lang_id",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_topk_lsh",
 ]
 
 

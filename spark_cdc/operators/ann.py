@@ -148,6 +148,125 @@ def hyperplane_lsh_buckets(
     )
 
 
+# ------------------------------------------------------------------ IVF
+def train_ivf_centroids(
+    vectors: DataFrame,
+    dim: int,
+    n_lists: int = 32,
+    seed: int = 42,
+    sample_size: int = 10_000,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic IVF coarse quantizer: Lloyd k-means (spherical —
+    cosine geometry) over a hash-ordered sample, driver-side numpy.
+
+    The sample is the ``sample_size`` smallest ``xxhash64(id)`` values —
+    a uniform, seed-stable choice with no RNG at execution time, so the
+    index is identical on every run/replay. At 10^8+ vectors the sample
+    collect is the only driver-side data movement (bounded, one pass);
+    training cost is O(sample · n_lists · dim) in numpy.
+    """
+    import numpy as np
+
+    rows = (
+        vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_size)
+        .collect()
+    )
+    M = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = M[rng.choice(len(M), size=min(n_lists, len(M)), replace=False)]
+    for _ in range(iters):
+        sims = M @ cent.T  # (n, k) cosine (rows unit-norm)
+        assign = sims.argmax(axis=1)
+        for j in range(len(cent)):
+            members = M[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cent
+
+
+def ivf_assign_udf(centroids, nprobe: int = 1):
+    """pandas UDF: embedding → the ``nprobe`` nearest centroid ids
+    (one matmul per Arrow batch, centroids as a closure constant)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64).T  # (dim, k)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ C  # (n, k)
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series([row.tolist() for row in top])
+
+    return _assign
+
+
+def ann_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 32,
+    nprobe: int = 4,
+    seed: int = 42,
+    sample_size: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    score_arrow: bool = True,
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate top-k: vectors are bucketed by nearest centroid
+    (one list each); each query probes its ``nprobe`` nearest lists and
+    ranks only those members. Candidates come from an equi-join on
+    ``list_id`` — at scale, write the base table partitioned by
+    ``list_id`` and the probe prunes partitions instead of shuffling.
+    Pass ``centroids`` to reuse a trained index."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, dim, n_lists, seed, sample_size, id_col=id_col, vec_col=vec_col
+        )
+    base = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .withColumn("list_id", ivf_assign_udf(centroids, nprobe=1)(F.col("v"))[0])
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("q"),
+        )
+        .withColumn("list_id", F.explode(ivf_assign_udf(centroids, nprobe=nprobe)(F.col("q"))))
+    )
+    cand = (
+        base.join(F.broadcast(q), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    if score_arrow:
+        cos = cosine_udf()(F.col("v"), F.col("q"))
+    else:
+        cos = F.try_divide(_dot(F.col("v"), F.col("q")), _norm(F.col("v")) * _norm(F.col("q")))
+    scored = cand.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
 def ann_topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,

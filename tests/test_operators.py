@@ -161,6 +161,53 @@ def test_ann_lsh_dim768_scale(spark):
     assert elapsed < 120, f"ANN LSH at dim 768 took {elapsed:.0f}s"
 
 
+def test_ann_ivf_recall_on_clustered_data(spark):
+    """IVF coarse quantizer: on clustered embeddings (IVF's habitat —
+    near-orthogonal uniform noise spreads true neighbours across lists
+    by construction, which is what LSH multi-tables are for) the probed
+    lists must contain ≥0.9 of the exact top-k. Deterministic: centroid
+    training is seeded and samples by hash order, no execution-time
+    RNG."""
+    import numpy as np
+    import pandas as pd
+
+    dim, n_clusters, per_cluster, k = 128, 10, 500, 5
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((n_clusters, dim))
+    M = np.repeat(base, per_cluster, axis=0) + rng.standard_normal(
+        (n_clusters * per_cluster, dim)
+    ) * 0.2
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(M)), "embedding": [r.tolist() for r in M]}
+    )
+    vecs = spark.createDataFrame(pdf)
+    q_ids = [0, 900, 2500, 4999]
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    exact = set()
+    for qid in q_ids:
+        sims = Mn @ Mn[qid]
+        sims[qid] = -np.inf
+        exact |= {(qid, int(v)) for v in np.argpartition(-sims, k)[:k]}
+    queries = vecs.where(F.col("vec_id").isin(q_ids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ann.ann_topk_ivf(
+        vecs, queries, dim=dim, k=k, n_lists=16, nprobe=3, sample_size=2000
+    )
+    got = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall}"
+    # reusing a trained index skips retraining and gives identical results
+    cent = ann.train_ivf_centroids(vecs, dim=dim, n_lists=16, sample_size=2000)
+    again = {
+        (r["query_id"], r["vec_id"])
+        for r in ann.ann_topk_ivf(
+            vecs, queries, dim=dim, k=k, n_lists=16, nprobe=3, centroids=cent
+        ).collect()
+    }
+    assert again == got
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.generate_media_fixture(spark, n=60)
     feats = multimodal.extract_features(media)
