@@ -95,8 +95,17 @@ class DeadLetterSink:
         lineage. The raw row is preserved verbatim as JSON — zero data
         loss, zero fabrication. Clean batches (the common case) commit
         nothing: the emptiness probe is a LIMIT-1 scan, far cheaper
-        than snapshot churn on every micro-batch."""
+        than snapshot churn on every micro-batch.
+
+        Exactly-once like the merge itself: a redelivered ``batch_id``
+        (foreachBatch retry) is skipped via the same snapshot-property
+        guard, so dead-lettered rows are never duplicated."""
+        last = self.table.properties.get("last_batch_id", {}).get(source_id)
+        if batch_id is not None and last is not None and batch_id <= last:
+            return self.table.snapshot_id
         if bad.isEmpty():
+            # nothing written → nothing a redelivery could duplicate;
+            # skipping the bookkeeping commit keeps clean batches free
             return self.table.snapshot_id
         payload_cols = [c for c in bad.columns if c != REASON_COL]
         out = bad.select(
@@ -115,8 +124,15 @@ class DeadLetterSink:
             ),
             F.to_json(F.struct(*[F.col(c) for c in payload_cols])).alias("raw"),
         )
+        props = dict(self.table.properties)
+        if batch_id is not None:
+            lb = dict(props.get("last_batch_id", {}))
+            lb[source_id] = batch_id
+            props["last_batch_id"] = lb
         return self.table.append(
-            out, summary={"operation": "quarantine", "source_id": source_id, "batch_id": batch_id}
+            out,
+            summary={"operation": "quarantine", "source_id": source_id, "batch_id": batch_id},
+            properties=props,
         )
 
     def read(self) -> DataFrame:

@@ -249,9 +249,16 @@ class LakeTable:
         return df
 
     # ----------------------------------------------------------------- write
-    def append(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        summary: dict[str, Any] | None = None,
+        properties: dict[str, Any] | None = None,
+    ) -> int:
         """Append-only write (facts / metrics tables). Bucketed if the
-        table has a bucket spec, else lands in bucket 0."""
+        table has a bucket spec, else lands in bucket 0. ``properties``
+        replaces the snapshot properties in the same commit (used for
+        exactly-once batch-id bookkeeping on append-only sinks)."""
         new_id = self.snapshot_id + 1
         df = self._conform(df)
         if self.bucket_column:
@@ -264,7 +271,12 @@ class LakeTable:
         files = {k: list(v) for k, v in self.manifest["files"].items()}
         for b, fl in new_files.items():
             files.setdefault(b, []).extend(fl)
-        self._commit_next(new_id, files, dict(self.properties), summary or {"operation": "append"})
+        self._commit_next(
+            new_id,
+            files,
+            properties if properties is not None else dict(self.properties),
+            summary or {"operation": "append"},
+        )
         return new_id
 
     def overwrite_buckets(

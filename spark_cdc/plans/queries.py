@@ -846,6 +846,71 @@ def cdc_replay_mor_table(spark, sf_dir):
 
 
 @query(
+    "cdc_schema_evolution_state",
+    """
+    SELECT conv_id, turn_idx, text, coalesce(tool, '') AS tool
+    FROM (
+      SELECT concat('u', user_id) AS conv_id,
+             CAST(event_id % 20 AS INTEGER) AS turn_idx,
+             event_type AS text,
+             CASE WHEN event_id % 4 >= 2 THEN concat(event_type, '-tool') END AS tool,
+             CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END AS op,
+             row_number() OVER (
+               PARTITION BY concat('u', user_id), CAST(event_id % 20 AS INTEGER)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def cdc_schema_evolution(spark, sf_dir):
+    """Mid-stream schema evolution under the driver oracle (the north
+    rule's 'added columns like tool'): the table is created WITHOUT
+    ``tool``; batches 0-1 lack the column physically, batches 2-3 carry
+    it — the merge auto-evolves the schema (ADD COLUMN, null backfill
+    on old files) and latest-version-wins decides per key whether the
+    winning row has a tool value. The oracle recomputes that from the
+    winner's batch parity. Also exercises SET-* semantics: a newer
+    pre-evolution version nulls a stale tool."""
+    import tempfile
+
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.lake.table import LakeTable
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("event_id").alias("op_seq"),
+        F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("c")).alias("op"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        F.pmod("event_id", F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("text"),
+        F.concat(F.col("event_type"), F.lit("-tool")).alias("tool"),
+        F.col("ts"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="spark_cdc_contract_evo_") + "/t"
+    table = LakeTable.create(spark, path, schema, key_columns=["conv_id", "turn_idx"], num_buckets=8)
+    for i in range(4):
+        batch = log.where(F.pmod("lsn", F.lit(4)) == i)
+        if i < 2:
+            batch = batch.drop("tool")  # pre-evolution wire format
+        apply_batch(table, batch, batch_id=i, collect_lineage=False)
+    # null-backfilled tool pinned to '' for order-insensitive row
+    # comparison (sorting mixed None/str row tuples is undefined)
+    return table.read().select(
+        "conv_id", "turn_idx", "text", F.coalesce("tool", F.lit("")).alias("tool")
+    )
+
+
+@query(
     "rollup_incremental_state",
     """
     SELECT user_id,

@@ -50,6 +50,22 @@ def test_jvm_only_text_path_has_no_python(spark):
         assert "EvalPython" not in plan, (name, plan)
 
 
+def test_ann_lsh_plan_has_no_cartesian(spark):
+    # the LSH scale path must candidate via equi-joins on (table,
+    # bucket) — a cartesian/nested-loop product would mean the O(n·q)
+    # brute force snuck back in
+    plan = _plan(spark, "ann_topk_lsh")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lsh_dedup_plan_has_no_cartesian(spark):
+    for name in ("dedup_minhash_lsh", "dedup_simhash"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
 def test_wholestage_codegen_in_flagship(spark):
     # '*(n)' prefixes mark whole-stage-codegen stages in the plan text
     plan = _plan(spark, "tpch_q1_pricing_summary")

@@ -69,6 +69,24 @@ def test_quarantine_end_to_end(spark, tmp_path):
     assert raw["op"] == "zap" and raw["text"] == "bad op"
 
 
+def test_quarantine_redelivery_is_exactly_once(spark, tmp_path):
+    """foreachBatch retry semantics: redelivering the same batch_id
+    must not duplicate dead-lettered rows (same snapshot-property guard
+    as the merge)."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD_SCHEMA, key_columns=KEY_COLUMNS, num_buckets=4
+    )
+    sink = DeadLetterSink(spark, str(tmp_path / "dlq"))
+    batch = _mixed_batch(spark)
+    apply_batch(table, batch, batch_id=0, quarantine=sink)
+    apply_batch(table, batch, batch_id=0, quarantine=sink)  # redelivery
+    assert sink.read().count() == 3  # not 6
+    # a LATER batch with new bad rows still lands
+    batch2 = batch.where(F.col("lsn").isin(5, 6)).withColumn("lsn", F.col("lsn") + 100)
+    apply_batch(table, batch2, batch_id=1, quarantine=sink)
+    assert sink.read().count() == 5
+
+
 def test_quarantine_clean_batch_commits_nothing(spark, tmp_path):
     table = LakeTable.create(
         spark, str(tmp_path / "t"), PAYLOAD_SCHEMA, key_columns=KEY_COLUMNS, num_buckets=4
