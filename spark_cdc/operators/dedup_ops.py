@@ -345,6 +345,64 @@ def simhash_near_duplicates(
     )
 
 
+# ------------------------------------------------- duplicate grouping
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → the actual
+    dedup decision: one row per involved doc with ``keep_id`` = the
+    smallest doc id in its component (keep the canonical one, drop the
+    rest).
+
+    Iterative min-label propagation, pure DataFrame ops: each round
+    every node adopts the minimum label among itself and its
+    neighbours; convergence in O(component diameter) rounds (near-dup
+    components are tiny and dense — a handful of rounds in practice;
+    large-scale alternative is the alternating big-star/small-star
+    algorithm, same join shape). Each round is one shuffle join + one
+    aggregate; the loop runs on the driver but the DATA never does.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).persist()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keep_id"))
+
+
 # ------------------------------------------- embedding near-duplicates
 # above this row count the all-pairs theta join is out of contract:
 # O(n²) at 10^8 vectors is never acceptable, LSH candidates are

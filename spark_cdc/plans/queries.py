@@ -1131,6 +1131,49 @@ def dedup_simhash(spark, sf_dir):
 
 
 @query(
+    "dedup_groups_keep_decision",
+    """
+    WITH RECURSIVE g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents)
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+              / len(list_distinct(a.grams || b.grams)) >= 0.5
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION ALL
+      SELECT id_b, id_a FROM p
+    ), reach(id, lab) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT e.a, r.lab FROM e JOIN reach r ON e.b = r.id
+    )
+    SELECT id AS doc_id, min(lab) AS keep_id FROM reach GROUP BY id
+    """,
+)
+def dedup_groups(spark, sf_dir):
+    """The actual dedup DECISION, not just pairs: near-dup pairs (LSH
+    candidates → exact n-gram-Jaccard verify, recall 1.0 on this
+    corpus) are folded into connected components by iterative min-label
+    propagation — doc_id → keep_id (= smallest id in the component;
+    keep it, drop the rest). The oracle recomputes components with a
+    recursive transitive-closure CTE over the exact pair set — an
+    iterative Spark algorithm under a full value oracle."""
+    d = _t(spark, sf_dir, "documents")
+    cand = dedup_ops.minhash_lsh_candidates(d, num_hashes=32, bands=4).persist()
+    pairs = dedup_ops.ngram_jaccard_pairs(d, cand, n=3, threshold=0.5).persist()
+    return dedup_ops.duplicate_components(pairs)
+
+
+@query(
     "embedding_near_duplicates",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

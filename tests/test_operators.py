@@ -46,6 +46,20 @@ def test_simhash_near_duplicates(spark, docs):
     assert (1, 601) in pairs
 
 
+def test_duplicate_components_chain_and_clique(spark):
+    """Min-label propagation: a 4-node chain (diameter 3 — needs >1
+    iteration), a triangle, and an isolated pair all resolve to the
+    component minimum as keep_id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],                     # pair
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["keep_id"] for r in dedup_ops.duplicate_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_simhash_deterministic_golden(spark):
     """Signatures are JVM-xxhash64-derived: identical across processes,
     executors and replays. Golden values pin cross-run stability (the
