@@ -112,3 +112,72 @@ class StreamRunner:
             .trigger(processingTime=processing_time)
             .start()
         )
+
+
+class MultiTableStreamRunner:
+    """One stream of Kafka-shaped frames fanned out to MANY tables —
+    the full shape of the reference's consumer service (one consumer,
+    topic→table routing, stream_etl/core/consumer.py:64-82 + main.py:
+    29-89) as a single checkpointed Structured Streaming query:
+
+        readStream(frames) → foreachBatch → parse_kafka_frames
+        → per-table filter → dedup + MERGE (exactly-once per table).
+
+    One checkpoint covers every table (each table additionally guards
+    by batch id, so a retry after a partial multi-table commit
+    re-applies only the tables that missed)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, LakeTable],
+        source_dir: str,
+        checkpoint_dir: str,
+        topic_table_map: dict[str, str] | None = None,
+        source_format: str = "parquet",
+        max_files_per_trigger: int | None = None,
+        quarantine=None,
+        on_batch: Callable[[int, dict], None] | None = None,
+    ):
+        from spark_cdc.cdc.envelope import KAFKA_FRAME_SCHEMA
+
+        self.spark = spark
+        self.tables = tables
+        self.source_dir = source_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.topic_table_map = topic_table_map
+        self.source_format = source_format
+        self.max_files_per_trigger = max_files_per_trigger
+        self.quarantine = quarantine
+        self.on_batch = on_batch
+        self.schema = KAFKA_FRAME_SCHEMA
+        self.results: list[dict] = []
+
+    def _handle(self, batch_df: DataFrame, batch_id: int) -> None:
+        from spark_cdc.cdc.apply import apply_batch_routed
+        from spark_cdc.cdc.envelope import parse_kafka_frames
+
+        env = parse_kafka_frames(batch_df, self.topic_table_map)
+        res = apply_batch_routed(
+            self.tables,
+            env,
+            batch_id=batch_id,
+            quarantine=self.quarantine,
+        )
+        self.results.append(res)
+        if self.on_batch:
+            self.on_batch(batch_id, res)
+
+    def run_available(self) -> list[dict]:
+        reader = self.spark.readStream.schema(self.schema).format(self.source_format)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        q = (
+            reader.load(self.source_dir)
+            .writeStream.foreachBatch(self._handle)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return self.results

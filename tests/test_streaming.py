@@ -108,3 +108,74 @@ def test_incremental_runner_persisted_watermark(spark, tmp_path):
         "conv_id", "turn_idx", "role", "text", "tool", "ts"
     )
     assert_df_equal(runner2.table.read(), expect, KEY_COLUMNS)
+
+
+def test_multi_table_stream_routing(spark, tmp_path):
+    """One Kafka-frame stream fanned out to two tables through a single
+    checkpointed query: rows route by topic, each table converges to
+    its own final state, and a second run with new frames resumes from
+    the checkpoint."""
+    import datetime
+    import json as _json
+
+    from spark_cdc.cdc.envelope import KAFKA_FRAME_SCHEMA, KEY_COLUMNS, PAYLOAD_SCHEMA
+    from spark_cdc.lake.table import LakeTable
+    from spark_cdc.streaming import MultiTableStreamRunner
+
+    src = str(tmp_path / "frames")
+    ckpt = str(tmp_path / "ckpt")
+
+    def frames(msgs, topic, offset0):
+        rows = [
+            (
+                _json.dumps({"conv_id": m["conv_id"]}).encode(),
+                _json.dumps(m).encode(),
+                topic,
+                0,
+                offset0 + i,
+                datetime.datetime(2024, 3, 5, 10, 0, i),
+            )
+            for i, m in enumerate(msgs)
+        ]
+        return spark.createDataFrame(rows, KAFKA_FRAME_SCHEMA)
+
+    t_msgs = [
+        {"op": "c", "conv_id": "a", "turn_idx": 0, "role": "user",
+         "text": "t1", "ts": "2024-03-05T10:00:00Z"},
+        {"op": "u", "conv_id": "a", "turn_idx": 0, "role": "user",
+         "text": "t2", "ts": "2024-03-05T10:00:05Z"},
+    ]
+    s_msgs = [
+        {"op": "c", "conv_id": "x", "turn_idx": 1, "role": "assistant",
+         "text": "s1", "ts": "2024-03-05T10:00:01Z"},
+    ]
+    frames(t_msgs, "pg.public.transcripts", 100).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    frames(s_msgs, "pg.public.sessions", 200).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    tables = {
+        name: LakeTable.create(
+            spark, str(tmp_path / name), PAYLOAD_SCHEMA,
+            key_columns=KEY_COLUMNS, num_buckets=4,
+        )
+        for name in ("transcripts", "sessions")
+    }
+    runner = MultiTableStreamRunner(spark, tables, src, ckpt)
+    runner.run_available()
+    t_state = {(r["conv_id"], r["turn_idx"]): r["text"] for r in tables["transcripts"].read().collect()}
+    s_state = {(r["conv_id"], r["turn_idx"]): r["text"] for r in tables["sessions"].read().collect()}
+    assert t_state == {("a", 0): "t2"}
+    assert s_state == {("x", 1): "s1"}
+
+    # resume: new frames only (a delete for sessions) picked up from ckpt
+    frames(
+        [{"op": "d", "conv_id": "x", "turn_idx": 1, "ts": "2024-03-05T10:00:09Z"}],
+        "pg.public.sessions",
+        300,
+    ).repartition(1).write.mode("append").parquet(src)
+    MultiTableStreamRunner(spark, tables, src, ckpt).run_available()
+    assert tables["sessions"].read().count() == 0
+    assert {(r["conv_id"], r["turn_idx"]) for r in tables["transcripts"].read().collect()} == {("a", 0)}
