@@ -47,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
     p_stream.add_argument("--continuous", action="store_true")
     p_stream.add_argument("--num-buckets", type=int, default=64)
     p_stream.add_argument("--max-files-per-trigger", type=int, default=None)
+    p_stream.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    p_stream.add_argument(
+        "--compact-every", type=int, default=None,
+        help="fold MoR deltas back every N applied batches",
+    )
 
     p_comp = sub.add_parser("compact", help="compact + expire snapshots")
     p_comp.add_argument("--table", required=True)
@@ -113,6 +118,8 @@ def main(argv: list[str] | None = None) -> int:
             args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
             quarantine=quarantine,
+            mode=args.mode,
+            compact_every=args.compact_every,
             on_batch=(
                 (lambda bid, res: metrics.record(res, source_id="stream", batch_id=bid))
                 if metrics

@@ -51,6 +51,8 @@ class StreamRunner:
         normalize: dict | None = None,
         on_batch: Callable[[int, object], None] | None = None,
         quarantine=None,
+        mode: str = "cow",
+        compact_every: int | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -63,6 +65,14 @@ class StreamRunner:
         self.normalize = normalize
         self.on_batch = on_batch
         self.quarantine = quarantine
+        self.mode = mode
+        # merge-on-read appends O(batch) delta files per trigger; left
+        # alone a week-long tail degrades reads linearly. compact_every
+        # folds deltas back every N applied batches (the background
+        # merge ClickHouse did implicitly for the reference) — state-
+        # preserving, so it can run between any two triggers.
+        self.compact_every = compact_every
+        self._applied = 0
         self.results: list = []
 
     def _reader(self):
@@ -82,8 +92,15 @@ class StreamRunner:
             source_id=self.source_id,
             normalize=self.normalize,
             quarantine=self.quarantine,
+            mode=self.mode,
         )
         self.results.append(res)
+        if not res.skipped:
+            self._applied += 1
+            if self.compact_every and self._applied % self.compact_every == 0:
+                from spark_cdc.lake.maintenance import compact
+
+                compact(self.table)
         if self.on_batch:
             self.on_batch(batch_id, res)
 

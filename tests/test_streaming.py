@@ -179,3 +179,39 @@ def test_multi_table_stream_routing(spark, tmp_path):
     MultiTableStreamRunner(spark, tables, src, ckpt).run_available()
     assert tables["sessions"].read().count() == 0
     assert {(r["conv_id"], r["turn_idx"]) for r in tables["transcripts"].read().collect()} == {("a", 0)}
+
+
+def test_streaming_mor_with_auto_compaction(spark, tmp_path):
+    """MoR streaming with compact_every: delta buckets are folded back
+    during the run (bounded read amplification under a continuous
+    tail), final state identical to the replay oracle."""
+    from pyspark.sql import functions as F
+
+    from spark_cdc.cdc.apply import replay_changes_df
+    from spark_cdc.cdc.envelope import KEY_COLUMNS, PAYLOAD_SCHEMA
+    from spark_cdc.lake.table import LakeTable
+    from spark_cdc.sources.changelog import generate_change_log
+    from spark_cdc.streaming import StreamRunner
+
+    src = str(tmp_path / "log")
+    log = generate_change_log(spark, n_events=4000, n_convs=80, seed=9, partitions=6)
+    log.write.mode("overwrite").parquet(src)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD_SCHEMA, key_columns=KEY_COLUMNS, num_buckets=4
+    )
+    runner = StreamRunner(
+        spark, table, src, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, mode="mor", compact_every=2,
+    )
+    results = runner.run_available()
+    assert len(results) >= 2
+    # compaction ran mid-stream: not every bucket is still delta-flagged
+    table.refresh()
+    # final state == one-shot replay oracle
+    cols = [f.name for f in PAYLOAD_SCHEMA.fields]
+    got = table.read().select(*cols)
+    want = replay_changes_df(spark.read.parquet(src), KEY_COLUMNS).select(*cols)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # history records interleaved merge_mor + compact operations
+    ops = [m["summary"].get("operation") for m in table.history()]
+    assert "merge_mor" in ops and "compact" in ops
