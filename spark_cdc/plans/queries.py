@@ -911,6 +911,59 @@ def cdc_schema_evolution(spark, sf_dir):
 
 
 @query(
+    "cdc_time_travel_read",
+    """
+    SELECT conv_id, turn_idx, text
+    FROM (
+      SELECT concat('u', user_id) AS conv_id,
+             CAST(event_id % 20 AS INTEGER) AS turn_idx,
+             event_type AS text,
+             CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END AS op,
+             row_number() OVER (
+               PARTITION BY concat('u', user_id), CAST(event_id % 20 AS INTEGER)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_id % 4 = 0)
+    WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def cdc_time_travel(spark, sf_dir):
+    """Snapshot isolation / time travel under the driver oracle: two
+    merges advance the table, then the FIRST post-merge snapshot is
+    read back by id — it must equal the replay of only the first batch,
+    bit-for-bit, regardless of everything committed after it."""
+    import tempfile
+
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.lake.table import LakeTable
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("event_id").alias("op_seq"),
+        F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("c")).alias("op"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        F.pmod("event_id", F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("text"),
+        F.col("ts"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="spark_cdc_contract_tt_") + "/t"
+    table = LakeTable.create(spark, path, schema, key_columns=["conv_id", "turn_idx"], num_buckets=8)
+    apply_batch(table, log.where(F.pmod("lsn", F.lit(4)) == 0), batch_id=0, collect_lineage=False)
+    first_snap = table.snapshot_id
+    apply_batch(table, log.where(F.pmod("lsn", F.lit(4)) != 0), batch_id=1, collect_lineage=False)
+    return table.read(snapshot_id=first_snap).select("conv_id", "turn_idx", "text")
+
+
+@query(
     "rollup_incremental_state",
     """
     SELECT user_id,
