@@ -251,30 +251,9 @@ def merge_changes(
                     .repartition(len(touched), F.col(BUCKET_COL))
                 )
             else:
-                # bulk fast path — ONE exchange: shuffle raw rows once on
-                # the bucket, then dedup with groupBy(bucket, key); since
-                # bucket ⊆ group keys, HashPartitioning(bucket) satisfies
-                # the clustering requirement and the aggregation runs
-                # in-place with each task holding exactly one bucket at
-                # write time (the same plan shape as the CoW fast path
-                # below — raw rows compete directly, lsn breaking
-                # intra-batch ties via batch_ord)
-                delta = (
-                    src.withColumn(
-                        BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets)
-                    )
-                    .repartition(table.num_buckets, F.col(BUCKET_COL))
-                    .groupBy(BUCKET_COL, *[F.col(k) for k in keys])
-                    .agg(F.max_by(win_payload, batch_ord).alias("w"))
-                    .select(
-                        BUCKET_COL,
-                        *keys,
-                        *[F.col(f"w.{c}").alias(c) for c in payload_cols if c not in keys],
-                        F.col(f"w.{V_TS}").alias(V_TS),
-                        F.col(f"w.{V_SEQ}").alias(V_SEQ),
-                        (F.col("w.__op") == F.lit(delete_op)).alias(V_DEL),
-                        F.lit(gen).cast("long").alias(V_GEN),
-                    )
+                delta = build_mor_bulk_delta(
+                    src, table, keys, payload_cols, win_payload, batch_ord,
+                    delete_op, gen,
                 )
             props = dict(table.properties)
             if batch_id is not None:
@@ -444,6 +423,41 @@ def merge_changes(
     finally:
         if collect_stats:
             winners.unpersist()
+
+
+def build_mor_bulk_delta(
+    src: DataFrame,
+    table: LakeTable,
+    keys: list[str],
+    payload_cols: list[str],
+    win_payload,
+    batch_ord,
+    delete_op: str,
+    gen: int,
+) -> DataFrame:
+    """Bulk MoR fast path — ONE exchange: shuffle raw rows once on the
+    bucket, then dedup with groupBy(bucket, key); since bucket ⊆ group
+    keys, HashPartitioning(bucket) satisfies the clustering requirement
+    and the aggregation runs in-place with each task holding exactly
+    one bucket at write time (the same plan shape as the CoW fast
+    path — raw rows compete directly, lsn breaking intra-batch ties via
+    ``batch_ord``). The single-Exchange property is plan-asserted in
+    tests/test_plans.py."""
+    return (
+        src.withColumn(BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets))
+        .repartition(table.num_buckets, F.col(BUCKET_COL))
+        .groupBy(BUCKET_COL, *[F.col(k) for k in keys])
+        .agg(F.max_by(win_payload, batch_ord).alias("w"))
+        .select(
+            BUCKET_COL,
+            *keys,
+            *[F.col(f"w.{c}").alias(c) for c in payload_cols if c not in keys],
+            F.col(f"w.{V_TS}").alias(V_TS),
+            F.col(f"w.{V_SEQ}").alias(V_SEQ),
+            (F.col("w.__op") == F.lit(delete_op)).alias(V_DEL),
+            F.lit(gen).cast("long").alias(V_GEN),
+        )
+    )
 
 
 def _phases(stats_ms: float, table: LakeTable, wall_ms: float) -> dict[str, float]:

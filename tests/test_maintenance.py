@@ -52,3 +52,35 @@ def test_expire_snapshots(spark, tmp_table_path):
     t2 = LakeTable.load(spark, table.path)
     assert sorted(tuple(r) for r in t2.read().collect()) == state
     assert len(t2.history()) == 2 < n_hist_before
+
+
+def test_expire_snapshots_removes_orphan_write_dirs(spark, tmp_path):
+    """A crash between data write and manifest commit leaves an orphan
+    snap-dir no snapshot references; expire_snapshots GCs it (Iceberg
+    remove_orphan_files semantics)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from spark_cdc.lake.maintenance import expire_snapshots
+    from spark_cdc.lake.table import DATA_DIR, LakeTable
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), T.StructType.fromDDL("id bigint, v string"),
+        key_columns=["id"], num_buckets=2,
+    )
+    for i in range(5):
+        table.append(
+            spark.range(10).select(
+                (F.col("id") + i * 10).alias("id"), F.lit(f"b{i}").alias("v")
+            )
+        )
+    # simulate a crashed write: orphan data dir, never committed
+    orphan = os.path.join(str(tmp_path / "t"), DATA_DIR, "snap99-deadbeef")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-orphan.parquet"), "wb").close()
+    before = table.read().count()
+    expire_snapshots(table, keep_last=2)
+    assert not os.path.exists(orphan)
+    assert table.read().count() == before  # live data untouched

@@ -66,6 +66,41 @@ def test_lsh_dedup_plan_has_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
 
 
+def test_mor_bulk_delta_is_single_exchange(spark, tmp_path):
+    """The bulk MoR dedup plan must shuffle exactly once (on the
+    bucket): HashPartitioning(bucket) satisfies groupBy(bucket, key)'s
+    clustering, so no second exchange may appear — the one-exchange
+    property the 10^10-event ingest path depends on."""
+    from pyspark.sql import functions as F
+
+    from spark_cdc.cdc.envelope import KEY_COLUMNS, PAYLOAD_SCHEMA
+    from spark_cdc.lake.merge import build_mor_bulk_delta
+    from spark_cdc.lake.table import LakeTable
+    from spark_cdc.sources.changelog import generate_change_log
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD_SCHEMA, key_columns=KEY_COLUMNS, num_buckets=8
+    )
+    src = generate_change_log(spark, n_events=2000, n_convs=50, seed=1, partitions=4)
+    payload_cols = [f.name for f in table.user_schema.fields]
+    win_payload = F.struct(
+        *[F.col(c).alias(c) for c in payload_cols],
+        F.col("op").alias("__op"),
+        F.col("ts").cast("timestamp").alias("_v_ts"),
+        F.coalesce(F.col("op_seq").cast("long"), F.lit(-1)).alias("_v_seq"),
+    )
+    batch_ord = F.struct(F.col("ts"), F.col("op_seq"), F.col("lsn"))
+    delta = build_mor_bulk_delta(
+        src, table, KEY_COLUMNS, payload_cols, win_payload, batch_ord, "d", 1
+    )
+    delta.collect()
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the final AND the initial plan; count only the final
+    final = plan.split("== Initial Plan ==")[0]
+    n_exchanges = final.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, final
+
+
 def test_wholestage_codegen_in_flagship(spark):
     # '*(n)' prefixes mark whole-stage-codegen stages in the plan text
     plan = _plan(spark, "tpch_q1_pricing_summary")
