@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "ann_topk_lsh",
+    "ann_topk_ivf",
+    "sessionize_conversations",
 ]
 
 
@@ -170,6 +172,34 @@ def run_replay(spark, sf: float, n_events: int, n_convs: int, mode: str = "mor")
     }
 
 
+def run_ann_d768(spark, sf: float) -> float:
+    """Production-dim ANN benchmark: LSH top-k over a clustered
+    100k × dim-768 corpus (Spark-native deterministic fixture,
+    materialized once outside the timed window). Validates that the
+    matmul signature path holds at real embedding dims — recall vs
+    brute force is pinned separately by pytest
+    (tests/test_operators.py::test_ann_lsh_dim768_scale)."""
+    from pyspark.sql import functions as F
+
+    from spark_cdc.operators import ann
+    from spark_cdc.sources.changelog import generate_embeddings
+
+    n, dim = 100_000, 768
+    path = os.path.join(tempfile.gettempdir(), f"spark_cdc_bench_emb_{n}x{dim}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        generate_embeddings(spark, n_vectors=n, dim=dim, n_clusters=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    vecs = spark.read.parquet(path)
+    queries = vecs.where(F.col("vec_id") % 6250 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )  # 16 queries spread across clusters
+    t0 = time.monotonic()
+    ann.ann_topk_lsh(vecs, queries, dim=dim, k=5, bits=10, tables=8).collect()
+    return round(time.monotonic() - t0, 3)
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from spark_cdc.plans import QUERIES
 
@@ -188,6 +218,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).collect()
         out[name] = round(time.monotonic() - t0, 3)
+    out["ann_topk_lsh_d768"] = run_ann_d768(spark, sf_of(sf_dir))
     return out
 
 
@@ -231,6 +262,18 @@ def main() -> None:
     total = round(
         cdc["elapsed_sec"] + cdc["compact_sec"] + cdc_cow["elapsed_sec"] + sum(queries.values()), 3
     )
+    # per-batch phase detail goes to a side file, NOT stdout: the
+    # driver captures only the tail of stdout, and round 2's full dump
+    # overflowed it (BENCH_r02.json parsed:null). The printed line must
+    # stay compact and LAST.
+    detail_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(detail_dir, exist_ok=True)
+    with open(os.path.join(detail_dir, "phases_latest.json"), "w") as f:
+        json.dump({"cdc": cdc, "cdc_cow": cdc_cow}, f, indent=1)
+
+    def compact_cdc(d: dict) -> dict:
+        return {k: v for k, v in d.items() if k != "phase_ms_per_batch"}
+
     result = {
         "metric": "cdc_replay_plus_query_suite_sec",
         "value": total,
@@ -239,12 +282,14 @@ def main() -> None:
             "cdc_replay_mor": cdc["elapsed_sec"],
             "cdc_mor_compact": cdc["compact_sec"],
             "cdc_replay_cow": cdc_cow["elapsed_sec"],
+            "cdc_mor_events_per_sec": cdc["events_per_sec"],
+            "cdc_cow_events_per_sec": cdc_cow["events_per_sec"],
             **queries,
         },
         "sf": sf,
         "cores": cores,
-        "cdc": cdc,
-        "cdc_cow": cdc_cow,
+        "cdc": compact_cdc(cdc),
+        "cdc_cow": compact_cdc(cdc_cow),
     }
     print(json.dumps(result))
 

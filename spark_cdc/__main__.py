@@ -53,6 +53,26 @@ def main(argv: list[str] | None = None) -> int:
         help="fold MoR deltas back every N applied batches",
     )
 
+    p_multi = sub.add_parser(
+        "stream-multi",
+        help="one checkpointed stream of Kafka-shaped frames fanned out "
+        "to many tables (topic→table routing, per-table exactly-once)",
+    )
+    p_multi.add_argument("--source", required=True, help="frame dir (kafka shape)")
+    p_multi.add_argument("--checkpoint", required=True)
+    p_multi.add_argument(
+        "--table", action="append", required=True, metavar="NAME=PATH",
+        help="target table (repeatable): logical name = lake table root",
+    )
+    p_multi.add_argument(
+        "--topic-map", action="append", default=[], metavar="TOPIC=NAME",
+        help="explicit topic→table mapping (default: last dot segment)",
+    )
+    p_multi.add_argument("--metrics", help="metrics lake table root")
+    p_multi.add_argument("--quarantine", help="dead-letter lake table root")
+    p_multi.add_argument("--num-buckets", type=int, default=64)
+    p_multi.add_argument("--max-files-per-trigger", type=int, default=None)
+
     p_comp = sub.add_parser("compact", help="compact + expire snapshots")
     p_comp.add_argument("--table", required=True)
     p_comp.add_argument("--keep-snapshots", type=int, default=3)
@@ -98,6 +118,67 @@ def main(argv: list[str] | None = None) -> int:
             apply_batch(table, batch, batch_id=i, normalize=norm,
                         collect_lineage=False, collect_stats=False)
         print(json.dumps({"snapshot_id": table.snapshot_id, "rows": table.read().count()}))
+        return 0
+
+    if args.cmd == "stream-multi":
+        from spark_cdc.metrics import MetricsLog
+        from spark_cdc.streaming import MultiTableStreamRunner
+
+        def parse_kv(items: list[str], what: str) -> dict[str, str]:
+            out: dict[str, str] = {}
+            for item in items:
+                if "=" not in item:
+                    ap.error(f"--{what} expects KEY=VALUE, got {item!r}")
+                k, v = item.split("=", 1)
+                out[k] = v
+            return out
+
+        tables = {}
+        for name, path in parse_kv(args.table, "table").items():
+            if LakeTable.exists(path):
+                tables[name] = LakeTable.load(spark, path)
+            else:
+                tables[name] = LakeTable.create(
+                    spark, path, PAYLOAD_SCHEMA,
+                    key_columns=KEY_COLUMNS, num_buckets=args.num_buckets,
+                )
+        topic_map = parse_kv(args.topic_map, "topic-map") or None
+        metrics = MetricsLog(spark, args.metrics) if args.metrics else None
+        quarantine = None
+        if args.quarantine:
+            from spark_cdc.cdc.quarantine import DeadLetterSink
+
+            quarantine = DeadLetterSink(spark, args.quarantine)
+
+        def on_batch(bid: int, res: dict) -> None:
+            if metrics:
+                for name, mr in res.items():
+                    if hasattr(mr, "skipped"):
+                        metrics.record(mr, source_id=f"stream:{name}", batch_id=bid)
+
+        runner = MultiTableStreamRunner(
+            spark,
+            tables,
+            args.source,
+            args.checkpoint,
+            topic_table_map=topic_map,
+            max_files_per_trigger=args.max_files_per_trigger,
+            quarantine=quarantine,
+            on_batch=on_batch if metrics else None,
+        )
+        runner.run_available()
+        print(
+            json.dumps(
+                {
+                    "batches": len(runner.results),
+                    "tables": {
+                        name: {"snapshot_id": t.snapshot_id, "rows": t.read().count()}
+                        for name, t in tables.items()
+                    },
+                    "quarantined": (quarantine.read().count() if quarantine else 0),
+                }
+            )
+        )
         return 0
 
     if args.cmd == "stream":

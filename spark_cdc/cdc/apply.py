@@ -83,11 +83,32 @@ def apply_batch(
     )
 
 
+class RoutedApplyError(RuntimeError):
+    """Raised when one or more per-table merges of a routed batch fail.
+
+    The tables in ``succeeded`` have committed (their batch-id guards
+    make a redelivery of the same batch a no-op for them); the tables
+    in ``failed`` have not advanced, so re-applying the batch repairs
+    exactly the missed tables."""
+
+    def __init__(self, failed: dict[str, Exception], succeeded: list[str]):
+        self.failed = failed
+        self.succeeded = succeeded
+        detail = "; ".join(f"{n}: {e!r}" for n, e in sorted(failed.items()))
+        super().__init__(
+            f"routed apply failed for tables {sorted(failed)} "
+            f"(committed: {sorted(succeeded)}): {detail}"
+        )
+
+
 def apply_batch_routed(
     tables: dict[str, LakeTable],
     changes: DataFrame,
     table_col: str = "_table",
     batch_id: int | None = None,
+    source_id: str | None = None,
+    quarantine=None,
+    max_parallel: int = 4,
     **kwargs,
 ) -> dict[str, MergeResult]:
     """Table router (SURVEY §2.7 C2): one multi-table change batch —
@@ -95,11 +116,69 @@ def apply_batch_routed(
     its topic-derived ``_table`` column — dispatched to each target
     table's merge (reference: stream_etl/core/consumer.py:64-82 routed
     per message in Python; here it is one filter per table over one
-    plan). The per-table exactly-once batch-id guard still applies:
-    each table tracks its own last committed batch id.
+    plan).
+
+    Exactly-once bookkeeping is **per table**: each table's merge guard
+    and each table's quarantine lineage use a table-qualified source id
+    (``{source_id}:{name}``), so table B's dead-lettered rows are never
+    suppressed by table A having already recorded the same batch id.
+
+    Rows whose ``table_col`` matches no configured table are routed to
+    the quarantine sink with reason ``unknown_table`` (a topic-mapping
+    typo must be loud, not silent data loss); without a sink their
+    count is surfaced in the returned dict under ``"_unknown"``.
+
+    The per-table merges are submitted from a driver-side thread pool
+    (``max_parallel``): Spark schedules concurrent jobs fine, and N
+    sequential merges would make micro-batch latency N× one merge while
+    the cluster idles between stages. A failed table does not abort the
+    others — the batch commits for every healthy table and raises
+    :class:`RoutedApplyError` so the stream redelivers; the redelivery
+    re-applies only the missed tables (batch-id guards skip the rest).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = source_id or "routed"
+    names = list(tables.keys())
+    unknown = changes.where(
+        F.col(table_col).isNull() | ~F.col(table_col).isin(names)
+    )
     results: dict[str, MergeResult] = {}
-    for name, tbl in tables.items():
+    if quarantine is not None:
+        from spark_cdc.cdc.quarantine import REASON_COL
+
+        flagged = unknown.withColumn(
+            REASON_COL,
+            F.concat(
+                F.lit("unknown_table:"),
+                F.coalesce(F.col(table_col), F.lit("<null>")),
+            ),
+        )
+        quarantine.record(flagged, source_id=f"{base}:_unknown", batch_id=batch_id)
+    else:
+        n_unknown = unknown.count()
+        if n_unknown:
+            results["_unknown"] = n_unknown  # type: ignore[assignment]
+
+    def _one(name: str, tbl: LakeTable) -> MergeResult:
         sub = changes.where(F.col(table_col) == name).drop(table_col)
-        results[name] = apply_batch(tbl, sub, batch_id=batch_id, **kwargs)
+        return apply_batch(
+            tbl,
+            sub,
+            batch_id=batch_id,
+            source_id=f"{base}:{name}",
+            quarantine=quarantine,
+            **kwargs,
+        )
+
+    failed: dict[str, Exception] = {}
+    with ThreadPoolExecutor(max_workers=max(1, min(max_parallel, len(tables)))) as ex:
+        futures = {name: ex.submit(_one, name, tbl) for name, tbl in tables.items()}
+        for name, fut in futures.items():
+            try:
+                results[name] = fut.result()
+            except Exception as e:  # noqa: BLE001 — isolate per-table failure
+                failed[name] = e
+    if failed:
+        raise RoutedApplyError(failed, [n for n in results if n in tables])
     return results

@@ -101,12 +101,22 @@ def parse_kafka_frames(
     parsed = df.select(
         F.from_json(F.col("value").cast("string"), RAW_JSON_SCHEMA).alias("e"),
         F.col("topic"),
-        F.col("offset").alias("_kafka_offset"),
+        # Offsets are only unique per topic-partition, so the fallback
+        # ordinal folds the partition into the high bits (partition <<
+        # 40 | offset): a key whose events straddle partitions (or two
+        # topics routed to one table) can no longer collide and
+        # mis-order latest-version-wins resolution. 2^40 offsets per
+        # partition ≈ 1.1e12 — above any single partition's lifetime
+        # at 10^10 total events.
+        (
+            F.coalesce(F.col("partition").cast("long"), F.lit(0)) * F.lit(1 << 40)
+            + F.coalesce(F.col("offset"), F.lit(0))
+        ).alias("_kafka_ordinal"),
         F.col("timestamp").alias("_kafka_ts"),
-    ).select("e.*", "topic", "_kafka_offset", "_kafka_ts")
+    ).select("e.*", "topic", "_kafka_ordinal", "_kafka_ts")
     enriched = (
-        parsed.withColumn("lsn", F.coalesce(F.col("lsn"), F.col("_kafka_offset")))
-        .withColumn("op_seq", F.coalesce(F.col("op_seq"), F.col("_kafka_offset")))
+        parsed.withColumn("lsn", F.coalesce(F.col("lsn"), F.col("_kafka_ordinal")))
+        .withColumn("op_seq", F.coalesce(F.col("op_seq"), F.col("_kafka_ordinal")))
         .withColumn(
             "ts",
             F.coalesce(parse_timestamp_any(F.col("ts")), F.col("_kafka_ts")).cast("string"),

@@ -80,10 +80,16 @@ class DeadLetterSink:
     dead-lettered rows after fixing the producer."""
 
     def __init__(self, spark: SparkSession, path: str):
+        import threading
+
         if LakeTable.exists(path):
             self.table = LakeTable.load(spark, path)
         else:
             self.table = LakeTable.create(spark, path, QUARANTINE_SCHEMA)
+        # One sink serves every table of a routed batch, and the router
+        # merges tables from a thread pool — serialize appends so two
+        # threads can't both commit snapshot N+1 over the same parent.
+        self._lock = threading.Lock()
 
     def record(
         self,
@@ -99,7 +105,9 @@ class DeadLetterSink:
 
         Exactly-once like the merge itself: a redelivered ``batch_id``
         (foreachBatch retry) is skipped via the same snapshot-property
-        guard, so dead-lettered rows are never duplicated."""
+        guard — keyed **per source_id**, so a router fanning one batch
+        out to many tables must pass each table its own source id (see
+        :func:`spark_cdc.cdc.apply.apply_batch_routed`)."""
         last = self.table.properties.get("last_batch_id", {}).get(source_id)
         if batch_id is not None and last is not None and batch_id <= last:
             return self.table.snapshot_id
@@ -124,16 +132,22 @@ class DeadLetterSink:
             ),
             F.to_json(F.struct(*[F.col(c) for c in payload_cols])).alias("raw"),
         )
-        props = dict(self.table.properties)
-        if batch_id is not None:
-            lb = dict(props.get("last_batch_id", {}))
-            lb[source_id] = batch_id
-            props["last_batch_id"] = lb
-        return self.table.append(
-            out,
-            summary={"operation": "quarantine", "source_id": source_id, "batch_id": batch_id},
-            properties=props,
-        )
+        with self._lock:
+            # re-check under the lock: a concurrent thread with the
+            # same source_id (stream retry racing) may have committed
+            last = self.table.properties.get("last_batch_id", {}).get(source_id)
+            if batch_id is not None and last is not None and batch_id <= last:
+                return self.table.snapshot_id
+            props = dict(self.table.properties)
+            if batch_id is not None:
+                lb = dict(props.get("last_batch_id", {}))
+                lb[source_id] = batch_id
+                props["last_batch_id"] = lb
+            return self.table.append(
+                out,
+                summary={"operation": "quarantine", "source_id": source_id, "batch_id": batch_id},
+                properties=props,
+            )
 
     def read(self) -> DataFrame:
         return self.table.read()

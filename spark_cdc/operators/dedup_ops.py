@@ -236,12 +236,16 @@ def ngram_jaccard_pairs(
     similarity; keeps pairs ≥ threshold. Join-then-array-intersect,
     no UDF. Grams are computed only for docs that appear in a
     candidate pair (semi-join pre-filter) — at scale the candidate set
-    is tiny relative to the corpus."""
+    is usually tiny relative to the corpus, but NOT guaranteed bounded
+    (boilerplate/template-heavy corpora can have near-dup rates where
+    the candidate id set is itself huge), so no forced broadcast here:
+    AQE picks broadcast when the built side is actually small and falls
+    back to a shuffled semi-join when it isn't, instead of OOMing."""
     ids = candidates.select(F.col("id_a").alias("_id")).unionByName(
         candidates.select(F.col("id_b").alias("_id"))
     ).distinct()
     grams = (
-        df.join(F.broadcast(ids), df[id_col] == ids["_id"], "left_semi")
+        df.join(ids, df[id_col] == ids["_id"], "left_semi")
         .select(
             F.col(id_col).alias("_id"),
             F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
@@ -360,20 +364,33 @@ def duplicate_components(
     Iterative min-label propagation, pure DataFrame ops: each round
     every node adopts the minimum label among itself and its
     neighbours; convergence in O(component diameter) rounds (near-dup
-    components are tiny and dense — a handful of rounds in practice;
-    large-scale alternative is the alternating big-star/small-star
-    algorithm, same join shape). Each round is one shuffle join + one
-    aggregate; the loop runs on the driver but the DATA never does.
+    components are tiny and dense — a handful of rounds in practice).
+    Each round is one shuffle join + one aggregate; the loop runs on
+    the driver but the DATA never does.
+
+    Raises ``RuntimeError`` if the loop exits without converging
+    (component diameter > ``max_iterations``) — partial labels would
+    silently split one duplicate group into several keep groups. For
+    high-diameter graphs use :func:`duplicate_components_star`
+    (O(log n) rounds).
     """
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
-        .persist()
+        # lineage must be truncated per round (localCheckpoint, not
+        # persist): persist caches data but the logical plan still
+        # nests one level per iteration, and driver-side analysis cost
+        # compounds until rounds dominate wall time
+        .localCheckpoint()
     )
-    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
-        "label", F.col("id")
-    ).persist()
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    changed = 1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["id"])
@@ -386,7 +403,7 @@ def duplicate_components(
                 "id",
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -395,12 +412,104 @@ def duplicate_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iterations} "
+            "iterations (component diameter too large); raise "
+            "max_iterations or use duplicate_components_star"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("keep_id"))
+
+
+def duplicate_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components via alternating **large-star / small-star**
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the at-scale upgrade over min-label propagation:
+    converges in O(log n) rounds regardless of component diameter
+    (label propagation needs O(diameter) rounds, pathological for
+    chain-shaped duplicate graphs).
+
+    Each round is two join+aggregate passes that rewire edges toward
+    component minima; at fixpoint the edge set is a star forest
+    (every node → its component's smallest id). Output schema matches
+    :func:`duplicate_components`: (doc_id, keep_id), keep_id = min id
+    of the component, including the kept doc labeling itself.
+    """
+    def edge_sig(df: DataFrame):
+        # one-job convergence probe: (count, xor of edge hashes) — a
+        # fixpoint keeps the exact edge set, so an unchanged signature
+        # means converged (vs. two subtract shuffles per round); xor
+        # can't overflow under ANSI mode, unlike sum
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            ).collect()[0]
+        )
+
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col(id_a) != F.col(id_b))
+        .distinct()
+        # localCheckpoint (not persist): each round must TRUNCATE the
+        # logical plan, or analysis cost compounds per iteration and
+        # the driver eventually stack-overflows on the lineage
+        .localCheckpoint()
+    )
+    prev_sig = edge_sig(edges)
+    for _ in range(max_iterations):
+        # large-star REPLACES the edge set: every neighbor v > u links
+        # to m = min(Γ(u) ∪ {u}). (Applying it sequentially, not
+        # unioned with small-star — a union accumulates both rewirings
+        # and the edge set explodes quadratically.)
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmin = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least(F.col("mv"), F.col("u")).alias("m")
+        )
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(lmin, "u")
+            # emitted as (bigger, smaller): v > u ≥ m, already canonical
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star REPLACES it again: all of u's smaller neighbors
+        # (and u itself) link to their minimum
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        new_edges = (
+            large.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smin.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = edge_sig(new_edges)
+        edges = new_edges
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"duplicate_components_star did not converge in {max_iterations} rounds"
+        )
+    roots = edges.select(F.col("v").alias("doc_id")).distinct().withColumn(
+        "keep_id", F.col("doc_id")
+    )
+    out = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("keep_id")
+    ).unionByName(roots)
+    return out
 
 
 # ------------------------------------------- embedding near-duplicates
@@ -437,7 +546,11 @@ def embedding_near_duplicates(
       1-(1-0.9^8)^12).
     """
     if mode == "auto":
-        mode = "exact" if df.count() <= BRUTE_FORCE_LIMIT else "lsh"
+        # existence probe, not a full count: LIMIT stops the scan as
+        # soon as BRUTE_FORCE_LIMIT+1 rows are seen, so deciding the
+        # route never pays a full pass over a 10^8-vector upstream plan
+        probe = df.select(F.lit(1)).limit(BRUTE_FORCE_LIMIT + 1).count()
+        mode = "exact" if probe <= BRUTE_FORCE_LIMIT else "lsh"
     if mode == "lsh":
         return _embedding_near_dup_lsh(
             df, id_col, vec_col, threshold, bits=bits, tables=tables, seed=seed

@@ -1316,3 +1316,106 @@ def multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media).select(
         "media_id", "kind", "n_bytes", "content_digest"
     )
+
+
+@query(
+    "sessionize_conversations",
+    """
+    WITH flagged AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS _new
+      FROM events WHERE ts IS NOT NULL
+    ), sess AS (
+      SELECT conv_id, ts,
+             sum(_new) OVER (PARTITION BY conv_id ORDER BY ts) AS _sid
+      FROM flagged
+    )
+    SELECT conv_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY conv_id, _sid
+    """,
+)
+def sessionize_conversations(spark, sf_dir):
+    """Batch sessionization (gaps-and-islands: lag → new-session flag →
+    running sum as session id → per-session aggregate) over the events
+    stream, 30-minute idle gap. This is the batch leg of the
+    sessionizer; the streaming leg (applyInPandasWithState with
+    event-time timeout, spark_cdc/streaming/sessionize.py) is pinned
+    equal to this form by tests/test_sessionize.py."""
+    from spark_cdc.streaming.sessionize import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts"
+    )
+    return sessionize_batch(ev, gap="30 minutes")
+
+
+@query(
+    "ann_topk_ivf",
+    """
+    WITH centers AS (
+      SELECT vec_id AS c, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 10
+    ), members AS (
+      SELECT t.range AS vec_id, t.range % 10 AS c FROM range(200) t
+    ), vecs AS (
+      SELECT m.vec_id,
+             list_transform(range(1, 65),
+               i -> cv[i] + CASE WHEN i = CAST(m.vec_id % 64 AS INTEGER) + 1
+                            THEN 0.02 * (m.vec_id // 10 + 1) ELSE 0 END
+             ) AS embedding
+      FROM members m JOIN centers ON m.c = centers.c
+    )
+    SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+             list_cosine_similarity(v.embedding, q.embedding) AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(v.embedding, q.embedding) DESC,
+                                         v.vec_id) AS rank
+      FROM vecs v, vecs q
+      WHERE q.vec_id < 5 AND v.vec_id <> q.vec_id)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivf(spark, sf_dir):
+    """IVF top-k under the exact top-k oracle, on IVF's actual habitat:
+    a clustered fixture derived deterministically from the embeddings
+    table (10 near-orthogonal centers = vec_id<10; 20 members each,
+    one coordinate perturbed per member so intra-cluster cosines are
+    distinct). The seeded k-means quantizer recovers the clusters and
+    ``nprobe=3 < n_lists=10`` probes a strict subset of lists — the
+    approximate result still equals the exact one because each query's
+    true neighbours share its cluster (intra-cluster cosine ≥0.9 vs
+    ~0.3 across clusters). Non-tautological: a mis-assigned list or a
+    broken candidate join would miss true neighbours and fail the
+    value hash. JVM fold scoring for bit-parity with the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centers = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") % 10).alias("c"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    members = spark.range(200).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 10).alias("c")
+    )
+    vecs = members.join(centers, "c").select(
+        "vec_id",
+        F.transform(
+            F.col("cv"),
+            lambda x, i: x
+            + F.when(
+                i == (F.col("vec_id") % 64).cast("int"),
+                0.02 * (F.floor(F.col("vec_id") / 10) + 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    queries = vecs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = ann.ann_topk_ivf(
+        vecs, queries, dim=64, k=5, n_lists=10, nprobe=3,
+        sample_size=200, score_arrow=False,
+    )
+    return res.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))

@@ -250,3 +250,40 @@ def generate_adtech(
         )
     )
     return {"advertiser": adv, "campaign": camp, "impressions": imp, "clicks": clk}
+
+
+def generate_embeddings(
+    spark: SparkSession,
+    n_vectors: int,
+    dim: int = 768,
+    n_clusters: int = 50,
+    noise: float = 0.15,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Clustered embedding fixture at production dims, Spark-native:
+    ``spark.range`` + hash-derived coordinates, fully distributed (a
+    10^8 × 768 fixture never touches the driver) and wall-clock-free.
+
+    vector(i) = center(i % n_clusters) + noise · n(i), with each
+    coordinate a deterministic uniform in [-0.5, 0.5) derived from
+    xxhash64 — near-orthogonal centers at dim 768, members tightly
+    clustered around them (the geometry ANN indexes are built for).
+    Columns match the testdata embeddings table:
+    (vec_id, embedding array<double>, label = cluster id).
+    """
+    rng = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_vectors, 1, rng).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % n_clusters).cast("int").alias("label"),
+    )
+    js = F.sequence(F.lit(0), F.lit(dim - 1))
+    center = lambda j: _u(seed, 1, (F.col("label") * 7919 + j)) - F.lit(0.5)  # noqa: E731
+    jitter = lambda j: _u(seed, 2, F.col("vec_id"), j) - F.lit(0.5)  # noqa: E731
+    return base.select(
+        "vec_id",
+        F.transform(js, lambda j: center(j) + F.lit(noise) * jitter(j)).alias(
+            "embedding"
+        ),
+        "label",
+    )

@@ -140,16 +140,17 @@ def sessionize_batch(df: DataFrame, gap: str = "30 minutes", ts_col: str = "ts")
     as session id → per-session aggregate). Pure Column expressions."""
     gap_seconds = _duration_seconds(gap)
     w = Window.partitionBy("conv_id").orderBy(ts_col)
+    # unix_micros instead of a double cast: TIMESTAMP_NTZ (what parquet
+    # scans yield) can't cast to double in Spark 4; the ltz cast is a
+    # fixed-offset reinterpretation, so gap DIFFERENCES are unaffected
+    ep = F.unix_micros(F.col("ts").cast("timestamp")).cast("double") / F.lit(1e6)
     flagged = (
         df.select("conv_id", F.col(ts_col).alias("ts"))
         .where(F.col("ts").isNotNull())
         .withColumn(
             "_new",
             (
-                F.coalesce(
-                    F.col("ts").cast("double") - F.lag("ts").over(w).cast("double"),
-                    F.lit(float("inf")),
-                )
+                F.coalesce(ep - F.lag(ep).over(w), F.lit(float("inf")))
                 > gap_seconds
             ).cast("long"),
         )

@@ -90,6 +90,28 @@ def test_parse_kafka_frames_shape_and_routing(spark):
     assert other.collect()[0]["_table"] == "events"
 
 
+def test_kafka_offset_fallback_is_partition_aware(spark):
+    """Kafka offsets are only unique per topic-partition: the lsn/op_seq
+    fallback folds the partition into the high bits so colliding
+    offsets across partitions can't mis-order latest-version-wins
+    resolution (round-2 advisory)."""
+    frames = spark.createDataFrame(
+        [
+            (b"k", json.dumps({"op": "c", "conv_id": "a", "turn_idx": 0,
+                               "text": "p0"}).encode(),
+             "t.x.transcripts", 0, 7, datetime.datetime(2024, 3, 5, 10, 0, 0)),
+            (b"k", json.dumps({"op": "u", "conv_id": "a", "turn_idx": 0,
+                               "text": "p1"}).encode(),
+             "t.x.transcripts", 1, 7, datetime.datetime(2024, 3, 5, 10, 0, 0)),
+        ],
+        KAFKA_FRAME_SCHEMA,
+    )
+    rows = sorted(parse_kafka_frames(frames).collect(), key=lambda r: r["lsn"])
+    assert rows[0]["lsn"] == 7                      # partition 0
+    assert rows[1]["lsn"] == (1 << 40) + 7          # partition 1, same offset
+    assert rows[0]["lsn"] != rows[1]["lsn"]
+
+
 def test_kafka_frames_end_to_end_merge(spark, tmp_path):
     """Kafka-shaped frames → envelope → topic routing → exactly-once
     MERGE: the full ingress path the reference's consumer thread

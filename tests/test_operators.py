@@ -60,6 +60,51 @@ def test_duplicate_components_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_duplicate_components_nonconvergence_raises(spark):
+    """Partial labels must never be returned silently (round-2
+    advisory): a chain whose diameter exceeds max_iterations raises."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_ops.duplicate_components(chain, max_iterations=3)
+
+
+def test_duplicate_components_star_chain(spark):
+    """Big-star/small-star converges in O(log n) rounds on a chain
+    whose diameter would need ~n label-propagation rounds, and its
+    output equals the label-propagation baseline."""
+    n = 64
+    chain = [(i, i + 1) for i in range(n)]             # diameter 64
+    extra = [(100, 101), (101, 102), (100, 102), (200, 201)]
+    pairs = spark.createDataFrame(chain + extra, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["keep_id"]
+        for r in dedup_ops.duplicate_components_star(pairs, max_iterations=12).collect()
+    }
+    want = {i: 0 for i in range(n + 1)}
+    want.update({100: 100, 101: 100, 102: 100, 200: 200, 201: 200})
+    assert got == want
+    # baseline equality on a shape it can still converge on
+    small = spark.createDataFrame(chain[:8] + extra, "id_a long, id_b long")
+    lp = {r["doc_id"]: r["keep_id"] for r in dedup_ops.duplicate_components(small).collect()}
+    st = {r["doc_id"]: r["keep_id"] for r in dedup_ops.duplicate_components_star(small).collect()}
+    assert lp == st
+
+
+def test_ngram_jaccard_no_forced_broadcast(spark, docs):
+    """The candidate id set is not bounded at corpus scale — the
+    semi-join must survive without a forced broadcast hint (AQE may
+    still CHOOSE broadcast; what's banned is the unconditional hint
+    that OOMs when the candidate set is huge). Checked on the
+    optimized logical plan: no ResolvedHint remains."""
+    cand = dedup_ops.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    verified = dedup_ops.ngram_jaccard_pairs(docs, cand, n=3, threshold=0.5)
+    logical = verified._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+    assert (1, 601) in {(r["id_a"], r["id_b"]) for r in verified.collect()}
+
+
 def test_simhash_deterministic_golden(spark):
     """Signatures are JVM-xxhash64-derived: identical across processes,
     executors and replays. Golden values pin cross-run stability (the
@@ -233,3 +278,27 @@ def test_multimodal_plumbing(spark):
     assert all(again[r["media_id"]] == r["sha256"] for r in rows)
     with pytest.raises(Exception, match="NotImplementedError|real media"):
         multimodal.extract_features(media, decode_fn="real").collect()
+
+
+def test_generate_embeddings_deterministic_and_clustered(spark):
+    """The production-dim bench fixture: identical across runs (hash-
+    derived, no RNG at execution time) and genuinely clustered (intra-
+    cluster cosine ≫ inter-cluster) so it exercises ANN's habitat."""
+    import numpy as np
+
+    from spark_cdc.sources.changelog import generate_embeddings
+
+    a = generate_embeddings(spark, 120, dim=48, n_clusters=6).collect()
+    b = generate_embeddings(spark, 120, dim=48, n_clusters=6).collect()
+    assert sorted((r["vec_id"], tuple(r["embedding"])) for r in a) == sorted(
+        (r["vec_id"], tuple(r["embedding"])) for r in b
+    )
+    M = np.array([r["embedding"] for r in sorted(a, key=lambda r: r["vec_id"])])
+    lab = np.array([r["label"] for r in sorted(a, key=lambda r: r["vec_id"])])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    same = lab[:, None] == lab[None, :]
+    off_diag = ~np.eye(len(M), dtype=bool)
+    intra = sims[same & off_diag].mean()
+    inter = sims[~same].mean()
+    assert intra > 0.8 and abs(inter) < 0.3, (intra, inter)

@@ -106,3 +106,46 @@ def test_wholestage_codegen_in_flagship(spark):
     plan = _plan(spark, "tpch_q1_pricing_summary")
     assert "*(1)" in plan, plan
     assert "HashAggregate" in plan and "partial_sum" in plan, plan
+
+
+def test_mor_bulk_delta_sql_equals_dataframe_form(spark, tmp_path):
+    """The cached-SQL bulk delta (one parse/analyze per batch instead
+    of one per DataFrame transformation) must produce the exact same
+    rows AND keep the single-Exchange property."""
+    from pyspark.sql import functions as F
+
+    from spark_cdc.cdc.envelope import KEY_COLUMNS, PAYLOAD_SCHEMA
+    from spark_cdc.lake.merge import build_mor_bulk_delta, build_mor_bulk_delta_sql
+    from spark_cdc.lake.table import LakeTable
+    from spark_cdc.sources.changelog import generate_change_log
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD_SCHEMA, key_columns=KEY_COLUMNS, num_buckets=8
+    )
+    src = generate_change_log(spark, n_events=2000, n_convs=50, seed=1, partitions=4)
+    payload_cols = [f.name for f in table.user_schema.fields]
+    win_payload = F.struct(
+        *[F.col(c).alias(c) for c in payload_cols],
+        F.col("op").alias("__op"),
+        F.col("ts").cast("timestamp").alias("_v_ts"),
+        F.coalesce(F.col("op_seq").cast("long"), F.lit(-1)).alias("_v_seq"),
+    )
+    batch_ord = F.struct(
+        F.coalesce(F.col("ts").cast("timestamp"), F.to_timestamp(F.lit("1900-01-01"))),
+        F.coalesce(F.col("op_seq").cast("long"), F.lit(-1)),
+        F.col("lsn").cast("long"),
+    )
+    df_form = build_mor_bulk_delta(
+        src, table, KEY_COLUMNS, payload_cols, win_payload, batch_ord, "d", 7
+    )
+    sql_form = build_mor_bulk_delta_sql(
+        src, table, KEY_COLUMNS, "op", "ts", "op_seq", "lsn", "d", 7
+    )
+    assert sorted(df_form.columns) == sorted(sql_form.columns)
+    cols = sorted(df_form.columns)
+    a = sorted(tuple(r[c] for c in cols) for r in df_form.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in sql_form.collect())
+    assert a == b
+    plan = sql_form._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
