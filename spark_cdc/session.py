@@ -71,6 +71,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # snapshot reads pass explicit file lists (one or two per
+        # bucket); above the default threshold (32 paths) Spark
+        # schedules a distributed LISTING JOB per read — measured
+        # ~250-400ms of pure overhead per CoW micro-batch. Driver-side
+        # listing of O(100) paths is microseconds; on a real cluster
+        # with object storage, tune back down only if manifests grow
+        # to many thousands of files (compaction bounds that here).
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -149,3 +149,39 @@ def test_mor_bulk_delta_sql_equals_dataframe_form(spark, tmp_path):
     plan = sql_form._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_cow_bulk_sql_replay_reference_equal_and_single_exchange(spark, tmp_path):
+    """The cached-SQL CoW bulk path must end reference-equal to the
+    one-shot replay oracle across multi-batch replays (updates,
+    deletes, duplicates, out-of-order lsn) and keep the one-exchange
+    plan shape."""
+    from pyspark.sql import functions as F
+
+    from spark_cdc.cdc.apply import apply_batch, replay_changes_df
+    from spark_cdc.cdc.envelope import KEY_COLUMNS, PAYLOAD_SCHEMA
+    from spark_cdc.lake.merge import build_cow_bulk_resolved_sql
+    from spark_cdc.lake.table import LakeTable
+    from spark_cdc.sources.changelog import generate_change_log
+
+    log = generate_change_log(
+        spark, n_events=4000, n_convs=80, seed=3, partitions=4
+    ).localCheckpoint()
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD_SCHEMA, key_columns=KEY_COLUMNS, num_buckets=8
+    )
+    for i in range(4):
+        batch = log.where((F.col("lsn") >= i * 1000) & (F.col("lsn") < (i + 1) * 1000))
+        apply_batch(table, batch, batch_id=i, mode="cow",
+                    collect_stats=False, collect_lineage=False)
+    got = table.read()
+    want = replay_changes_df(log, KEY_COLUMNS).select(*got.columns)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    tgt = table.read(include_hidden=True, resolve=False)
+    resolved = build_cow_bulk_resolved_sql(
+        log.limit(100), tgt, table, KEY_COLUMNS, "op", "ts", "op_seq", "lsn", "d"
+    )
+    plan = resolved._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
