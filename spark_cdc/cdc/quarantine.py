@@ -151,3 +151,46 @@ class DeadLetterSink:
 
     def read(self) -> DataFrame:
         return self.table.read()
+
+
+def replay_quarantined(
+    sink: DeadLetterSink,
+    table: LakeTable,
+    fixes: dict[str, Column] | None = None,
+    reasons: list[str] | None = None,
+    source_id: str = "quarantine_replay",
+    batch_id: int | None = None,
+    **merge_kwargs,
+):
+    """Re-ingest dead-lettered rows into ``table`` after correction —
+    the recovery half of the dead-letter contract (rows were preserved
+    verbatim precisely so they can be replayed once the producer or a
+    ``fixes`` transformation repairs them).
+
+    ``fixes`` maps column → replacement Column expression applied after
+    the raw JSON is re-parsed (e.g. backfill a null ``ts`` from an
+    ingest-time default). ``reasons`` filters which dead-letter classes
+    to attempt. Rows still violating the envelope rules after fixing
+    are NOT merged and NOT duplicated into the sink; their count is
+    returned so the operator can alert instead of looping.
+
+    Returns ``(MergeResult, still_bad_count)``.
+    """
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.cdc.envelope import RAW_JSON_SCHEMA, normalize_envelope
+
+    bad = sink.read()
+    if reasons:
+        bad = bad.where(F.col("reason").isin(reasons))
+    env = normalize_envelope(
+        bad.select(F.from_json(F.col("raw"), RAW_JSON_SCHEMA).alias("e")).select("e.*")
+    )
+    for c, expr in (fixes or {}).items():
+        env = env.withColumn(c, expr)
+    rules = default_envelope_rules(table.key_columns)
+    good, still_bad = split_quarantine(env, rules)
+    n_still_bad = still_bad.count()
+    res = apply_batch(
+        table, good, batch_id=batch_id, source_id=source_id, **merge_kwargs
+    )
+    return res, n_still_bad

@@ -1227,6 +1227,22 @@ def dedup_groups(spark, sf_dir):
 
 
 @query(
+    "dedup_groups_keep_decision_star",
+    ORACLES["dedup_groups_keep_decision"],
+)
+def dedup_groups_star(spark, sf_dir):
+    """The at-scale connected-components path (alternating big-star/
+    small-star, O(log n) rounds vs label propagation's O(diameter))
+    under the SAME recursive transitive-closure oracle — proving the
+    scale algorithm computes the identical keep decision, not just the
+    baseline."""
+    d = _t(spark, sf_dir, "documents")
+    cand = dedup_ops.minhash_lsh_candidates(d, num_hashes=32, bands=4).persist()
+    pairs = dedup_ops.ngram_jaccard_pairs(d, cand, n=3, threshold=0.5).persist()
+    return dedup_ops.duplicate_components_star(pairs)
+
+
+@query(
     "embedding_near_duplicates",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -97,3 +97,55 @@ def test_quarantine_clean_batch_commits_nothing(spark, tmp_path):
     apply_batch(table, clean, batch_id=0, quarantine=sink)
     assert sink.table.snapshot_id == snap_before  # no snapshot churn
     assert sink.read().count() == 0
+
+
+def test_replay_quarantined_with_fix(spark, tmp_path):
+    """Dead-lettered rows are recoverable: a fixes expression repairs
+    the violation, repaired rows merge exactly-once, unrepairable rows
+    are counted but neither merged nor re-duplicated into the sink."""
+    from pyspark.sql import functions as F
+
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.cdc.envelope import KEY_COLUMNS, PAYLOAD_SCHEMA
+    from spark_cdc.cdc.quarantine import DeadLetterSink, replay_quarantined
+    from spark_cdc.lake.table import LakeTable
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD_SCHEMA,
+        key_columns=KEY_COLUMNS, num_buckets=4,
+    )
+    sink = DeadLetterSink(spark, str(tmp_path / "dlq"))
+    sch = ("lsn long, op_seq long, op string, conv_id string, turn_idx int, "
+           "role string, text string, tool string, ts timestamp")
+    rows = [
+        (1, 1, "c", "a", 0, "user", "good", None, "2024-01-01 00:00:00"),
+        # unparseable ts -> quarantined; recoverable via a fix
+        (2, 2, "c", "b", 0, "user", "fixable", None, None),
+        # null key -> quarantined; NOT recoverable by the ts fix
+        (3, 3, "c", None, 0, "user", "doomed", None, None),
+    ]
+    batch = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7],
+          r[8] and __import__("datetime").datetime.fromisoformat(r[8])) for r in rows],
+        sch,
+    )
+    apply_batch(table, batch, batch_id=0, quarantine=sink)
+    assert table.read().count() == 1
+    assert sink.read().count() == 2
+
+    res, still_bad = replay_quarantined(
+        sink, table,
+        fixes={"ts": F.coalesce(F.col("ts"), F.lit("2024-01-01 09:00:00").cast("timestamp"))},
+        batch_id=0,
+    )
+    assert still_bad == 1  # the null-key row stays dead
+    state = {r["conv_id"]: r["text"] for r in table.read().collect()}
+    assert state == {"a": "good", "b": "fixable"}
+    assert sink.read().count() == 2  # no duplication into the sink
+    # replaying the same batch id again is a no-op (exactly-once)
+    res2, _ = replay_quarantined(
+        sink, table,
+        fixes={"ts": F.coalesce(F.col("ts"), F.lit("2024-01-01 09:00:00").cast("timestamp"))},
+        batch_id=0,
+    )
+    assert res2.skipped
