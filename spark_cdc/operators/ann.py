@@ -330,3 +330,85 @@ def ann_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+def ivf_write_partitioned(
+    vectors: DataFrame,
+    path: str,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index as a ``list_id``-partitioned parquet
+    layout — the at-scale form of the equi-join probe: each coarse
+    cell is its own partition directory, so a query touching ``nprobe``
+    lists prunes every other partition at the SCAN (no shuffle, no
+    full pass). One exchange on list_id aligns files with partitions
+    (otherwise every write task emits a file per list)."""
+    base = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .withColumn(
+            "list_id",
+            ivf_assign_udf(centroids, nprobe=1)(
+                F.col(vec_col).cast("array<double>")
+            )[0],
+        )
+        .repartition("list_id")
+    )
+    base.write.partitionBy("list_id").mode("overwrite").parquet(path)
+
+
+def ann_topk_ivf_partitioned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    score_arrow: bool = True,
+) -> DataFrame:
+    """Probe a :func:`ivf_write_partitioned` layout: the union of the
+    queries' ``nprobe`` nearest lists becomes an ``IN`` predicate on
+    the partition column — Catalyst turns it into PartitionFilters
+    (plan-asserted in tests), so only probed directories are listed or
+    read. Candidate matching and scoring then proceed exactly as
+    :func:`ann_topk_ivf`. The list of probed cells is O(queries ×
+    nprobe) driver-side — bounded, independent of corpus size."""
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("q"),
+        )
+        .withColumn(
+            "list_id", F.explode(ivf_assign_udf(centroids, nprobe=nprobe)(F.col("q")))
+        )
+    )
+    probe_lists = sorted(
+        r["list_id"] for r in q.select("list_id").distinct().collect()
+    )
+    base = (
+        spark.read.parquet(path)
+        .where(F.col("list_id").isin(probe_lists))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            "list_id",
+        )
+    )
+    cand = base.join(F.broadcast(q), "list_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    if score_arrow:
+        cos = cosine_udf()(F.col("v"), F.col("q"))
+    else:
+        cos = F.try_divide(_dot(F.col("v"), F.col("q")), _norm(F.col("v")) * _norm(F.col("q")))
+    scored = cand.select("query_id", "vec_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

@@ -302,3 +302,44 @@ def test_generate_embeddings_deterministic_and_clustered(spark):
     intra = sims[same & off_diag].mean()
     inter = sims[~same].mean()
     assert intra > 0.8 and abs(inter) < 0.3, (intra, inter)
+
+
+def test_ann_ivf_partitioned_layout_prunes_and_matches(spark, tmp_path):
+    """The at-scale IVF layout: vectors stored partitioned by list_id;
+    a probe reads ONLY the queried lists (PartitionFilters in the scan
+    — plan-asserted) and returns exactly what the in-memory equi-join
+    form returns with the same trained index."""
+    import numpy as np
+    import pandas as pd
+
+    dim, n_clusters, per_cluster = 64, 10, 80
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((n_clusters, dim))
+    M = np.repeat(base, per_cluster, axis=0) + 0.1 * rng.standard_normal(
+        (n_clusters * per_cluster, dim)
+    )
+    vecs = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(M)), "embedding": [r.tolist() for r in M]})
+    )
+    queries = vecs.where(F.col("vec_id").isin(0, 100, 500)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cent = ann.train_ivf_centroids(vecs, dim=dim, n_lists=10, sample_size=800)
+    path = str(tmp_path / "ivf")
+    ann.ivf_write_partitioned(vecs, path, cent)
+
+    got = ann.ann_topk_ivf_partitioned(spark, path, queries, cent, k=5, nprobe=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan, plan
+
+    want = ann.ann_topk_ivf(
+        vecs, queries, dim=dim, k=5, n_lists=10, nprobe=3,
+        sample_size=800, centroids=cent,
+    )
+    a = sorted(tuple(r) for r in got.select("query_id", "rank", "vec_id").collect())
+    b = sorted(tuple(r) for r in want.select("query_id", "rank", "vec_id").collect())
+    assert a == b
+    # pruning is real: fewer partition dirs scanned than exist
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "list_id" in m.group(1), plan

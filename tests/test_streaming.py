@@ -215,3 +215,62 @@ def test_streaming_mor_with_auto_compaction(spark, tmp_path):
     # history records interleaved merge_mor + compact operations
     ops = [m["summary"].get("operation") for m in table.history()]
     assert "merge_mor" in ops and "compact" in ops
+
+
+def test_stream_tails_while_producer_appends(spark, tmp_path):
+    """The reference ran a seeder service producing rounds of changes
+    while the consumer tailed (seeder/periodic_seed.py): here a live
+    producer appends change files WHILE the continuous stream runs —
+    not pre-staged — and the final table must equal the one-shot
+    replay oracle over everything produced."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from spark_cdc.cdc.apply import replay_changes_df
+    from spark_cdc.cdc.envelope import KEY_COLUMNS, PAYLOAD_SCHEMA
+    from spark_cdc.lake.table import LakeTable
+    from spark_cdc.sources.changelog import generate_change_log
+    from spark_cdc.streaming import StreamRunner
+
+    log = generate_change_log(
+        spark, n_events=6000, n_convs=120, seed=11, partitions=2
+    ).localCheckpoint()
+    src = tmp_path / "src"
+    src.mkdir()
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD_SCHEMA,
+        key_columns=KEY_COLUMNS, num_buckets=4,
+    )
+    runner = StreamRunner(spark, table, str(src), str(tmp_path / "ckpt"))
+    q = runner.start_continuous(processing_time="1 seconds")
+    try:
+        for i in range(3):
+            part = log.where(
+                (F.col("lsn") >= i * 2000) & (F.col("lsn") < (i + 1) * 2000)
+            )
+            stage = str(tmp_path / f"stage{i}")
+            part.coalesce(1).write.parquet(stage)
+            for j, f in enumerate(sorted(glob.glob(stage + "/*.parquet"))):
+                # rename into the watched dir = the atomic visibility a
+                # real log tail gives the file source
+                shutil.move(f, str(src / f"round{i}_{j}.parquet"))
+            expected = (
+                replay_changes_df(log.where(F.col("lsn") < (i + 1) * 2000), KEY_COLUMNS)
+                .count()
+            )
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                q.awaitTermination(1.0)
+                if table.refresh().read().count() == expected:
+                    break
+            assert table.refresh().read().count() == expected, f"round {i} never caught up"
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = table.refresh().read()
+    want = replay_changes_df(log, KEY_COLUMNS).select(*got.columns)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
