@@ -1435,3 +1435,24 @@ def ann_ivf(spark, sf_dir):
         sample_size=200, score_arrow=False,
     )
     return res.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@query(
+    "stream_window_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, count(*) AS n_events
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_window_counts(spark, sf_dir):
+    """C10 tumbling-window event counts — the exact plan the streaming
+    monitor runs (spark_cdc/streaming/windows.py), evaluated in batch
+    mode (same function, same plan; stream==batch-once-watermark-passed
+    is pinned by tests/test_windows.py)."""
+    from spark_cdc.streaming.windows import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    return windowed_event_counts(ev, ts_col="ts", group_cols=["event_type"], window="1 hour")
