@@ -172,6 +172,85 @@ def run_replay(spark, sf: float, n_events: int, n_convs: int, mode: str = "mor")
     }
 
 
+def run_routed_replay(spark, sf: float, n_events: int, n_convs: int, n_tables: int = 3) -> dict:
+    """Multi-table ingest benchmark: one stream of Kafka-shaped frames
+    routed to ``n_tables`` tables (topic = conv-hash), per-table merges
+    submitted concurrently from the router's thread pool. Measures the
+    full consumer-service shape (parse → route → N parallel MERGEs) —
+    frames materialized once outside the timed window."""
+    from pyspark.sql import functions as F
+
+    from spark_cdc.cdc.apply import apply_batch_routed
+    from spark_cdc.cdc.envelope import parse_kafka_frames
+
+    src = ensure_changelog(spark, sf, n_events, n_convs)
+    fpath = os.path.join(
+        tempfile.gettempdir(), f"spark_cdc_bench_frames_{sf}_{n_events}"
+    )
+    if not os.path.exists(os.path.join(fpath, "_SUCCESS")):
+        shutil.rmtree(fpath, ignore_errors=True)
+        log = spark.read.parquet(src)
+        frames = log.select(
+            F.encode(F.col("conv_id"), "utf-8").alias("key"),
+            F.encode(
+                F.to_json(
+                    F.struct(
+                        "lsn", "op_seq", "op", "conv_id", "turn_idx",
+                        "role", "text", "tool",
+                        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+                    )
+                ),
+                "utf-8",
+            ).alias("value"),
+            F.concat(
+                F.lit("db.public.t"),
+                F.pmod(F.xxhash64("conv_id"), F.lit(n_tables)).cast("string"),
+            ).alias("topic"),
+            F.lit(0).alias("partition"),
+            F.col("lsn").alias("offset"),
+            F.col("ts").cast("timestamp").alias("timestamp"),
+        )
+        frames.write.mode("overwrite").parquet(fpath)
+    frames = spark.read.parquet(fpath)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="spark_cdc_bench_routed_", dir=shm)
+    tables = {
+        f"t{i}": LakeTable.create(
+            spark,
+            os.path.join(workdir, f"t{i}"),
+            PAYLOAD_SCHEMA,
+            key_columns=KEY_COLUMNS,
+            num_buckets=16,
+        )
+        for i in range(n_tables)
+    }
+    # warm the routed shape on a slice
+    apply_batch_routed(
+        tables, parse_kafka_frames(frames.limit(3000)), batch_id=0,
+        mode="mor", collect_lineage=False, collect_stats=False,
+    )
+    step = n_events // N_BATCHES
+    t0 = time.monotonic()
+    for i in range(N_BATCHES):
+        lo, hi = i * step, (i + 1) * step if i < N_BATCHES - 1 else n_events
+        batch = frames.where((F.col("offset") >= lo) & (F.col("offset") < hi))
+        apply_batch_routed(
+            tables, parse_kafka_frames(batch), batch_id=i + 1,
+            mode="mor", collect_lineage=False, collect_stats=False,
+        )
+    elapsed = time.monotonic() - t0
+    total_rows = sum(t.read().count() for t in tables.values())
+    shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "tables": n_tables,
+        "events": n_events,
+        "batches": N_BATCHES,
+        "elapsed_sec": round(elapsed, 3),
+        "events_per_sec": round(n_events / elapsed, 1),
+        "final_rows": total_rows,
+    }
+
+
 def run_ann_d768(spark, sf: float) -> float:
     """Production-dim ANN benchmark: LSH top-k over a clustered
     100k × dim-768 corpus (Spark-native deterministic fixture,
@@ -273,10 +352,12 @@ def main() -> None:
         return
     cdc = run_replay(spark, sf, n_events, n_convs, mode="mor")
     cdc_cow = run_replay(spark, sf, n_events, n_convs, mode="cow")
+    cdc_routed = run_routed_replay(spark, sf, n_events, n_convs)
 
     queries = run_queries(spark, sf_dir)
     total = round(
-        cdc["elapsed_sec"] + cdc["compact_sec"] + cdc_cow["elapsed_sec"] + sum(queries.values()), 3
+        cdc["elapsed_sec"] + cdc["compact_sec"] + cdc_cow["elapsed_sec"]
+        + cdc_routed["elapsed_sec"] + sum(queries.values()), 3
     )
     # per-batch phase detail goes to a side file, NOT stdout: the
     # driver captures only the tail of stdout, and round 2's full dump
@@ -298,14 +379,17 @@ def main() -> None:
             "cdc_replay_mor": cdc["elapsed_sec"],
             "cdc_mor_compact": cdc["compact_sec"],
             "cdc_replay_cow": cdc_cow["elapsed_sec"],
+            "cdc_replay_routed_3tables": cdc_routed["elapsed_sec"],
             "cdc_mor_events_per_sec": cdc["events_per_sec"],
             "cdc_cow_events_per_sec": cdc_cow["events_per_sec"],
+            "cdc_routed_events_per_sec": cdc_routed["events_per_sec"],
             **queries,
         },
         "sf": sf,
         "cores": cores,
         "cdc": compact_cdc(cdc),
         "cdc_cow": compact_cdc(cdc_cow),
+        "cdc_routed": cdc_routed,
     }
     print(json.dumps(result))
 

@@ -73,6 +73,17 @@ def main(argv: list[str] | None = None) -> int:
     p_multi.add_argument("--num-buckets", type=int, default=64)
     p_multi.add_argument("--max-files-per-trigger", type=int, default=None)
 
+    p_feed = sub.add_parser(
+        "feed-mirror",
+        help="incrementally maintain a mirror of a lake table from its "
+        "change feed (poll → MERGE diff → commit cursor; O(change set) "
+        "per poll, no full re-reads)",
+    )
+    p_feed.add_argument("--source-table", required=True, help="source lake table root")
+    p_feed.add_argument("--mirror", required=True, help="mirror lake table root")
+    p_feed.add_argument("--cursor", required=True, help="cursor file path")
+    p_feed.add_argument("--num-buckets", type=int, default=64)
+
     p_comp = sub.add_parser("compact", help="compact + expire snapshots")
     p_comp.add_argument("--table", required=True)
     p_comp.add_argument("--keep-snapshots", type=int, default=3)
@@ -92,6 +103,33 @@ def main(argv: list[str] | None = None) -> int:
         buckets = compact(table)
         stats = expire_snapshots(table, keep_last=args.keep_snapshots)
         print(json.dumps({"compacted_buckets": buckets, **stats}))
+        return 0
+
+    if args.cmd == "feed-mirror":
+        from spark_cdc.cdc.apply import apply_batch
+        from spark_cdc.lake.feed import ChangeFeedConsumer, feed_to_changes
+
+        src = LakeTable.load(spark, args.source_table)
+        if LakeTable.exists(args.mirror):
+            mirror = LakeTable.load(spark, args.mirror)
+        else:
+            mirror = LakeTable.create(
+                spark, args.mirror, src.user_schema,
+                key_columns=src.key_columns, num_buckets=args.num_buckets,
+            )
+        consumer = ChangeFeedConsumer(src, args.cursor)
+        polls = 0
+        while (got := consumer.poll()) is not None:
+            diff, to_snap = got
+            apply_batch(mirror, feed_to_changes(diff, to_snap),
+                        batch_id=to_snap, collect_lineage=False)
+            consumer.commit(to_snap)
+            polls += 1
+        print(json.dumps({
+            "polls": polls,
+            "cursor": consumer.position(),
+            "rows": mirror.read().count(),
+        }))
         return 0
 
     def open_table(num_buckets: int) -> LakeTable:

@@ -1,0 +1,103 @@
+"""Incremental downstream consumption of a LakeTable's change feed.
+
+The reference had no incremental-consumption story: every downstream
+read re-scanned full tables (/root/reference/etl/core/pipeline.py:
+136-181). Here a downstream job polls :meth:`LakeTable.read_changes`
+with a persisted snapshot cursor — the same poll → process → commit
+offset discipline the reference's Kafka consumer used for its ingress
+(/root/reference/stream_etl/core/consumer.py:86-109), now available on
+the egress side:
+
+    consumer = ChangeFeedConsumer(table, cursor_path)
+    got = consumer.poll()          # None when caught up
+    if got:
+        diff, to_snap = got
+        ... apply diff downstream ...
+        consumer.commit(to_snap)   # advance cursor AFTER downstream commit
+
+Crash between process and commit ⇒ the next poll returns the same diff
+(at-least-once); an idempotent downstream apply (e.g. ``apply_batch``
+into another LakeTable, which is a latest-version-wins MERGE) makes the
+pipeline exactly-once end to end.
+
+Scale: a poll costs O(change set) — ``read_changes`` reads only buckets
+whose manifest file lists differ between the cursor snapshot and the
+head snapshot; a caught-up poll touches no data files at all (two
+manifest reads).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_cdc.lake.table import LakeTable
+
+
+class ChangeFeedConsumer:
+    """Cursor-tracked poll loop over a table's net change feed."""
+
+    def __init__(self, table: LakeTable, cursor_path: str, start_snapshot: int = 0):
+        self.table = table
+        self.cursor_path = cursor_path
+        self.start_snapshot = start_snapshot
+
+    def position(self) -> int:
+        """Last committed snapshot id (``start_snapshot`` before any commit)."""
+        try:
+            with open(self.cursor_path) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return self.start_snapshot
+
+    def poll(self) -> tuple[DataFrame, int] | None:
+        """Net diff since the cursor, or None when caught up.
+
+        Returns ``(diff, to_snapshot)``; the caller processes ``diff``
+        and then :meth:`commit`\\ s ``to_snapshot``. The diff is pinned
+        to the head snapshot observed at poll time, so concurrent
+        commits to the source between poll and commit are simply picked
+        up by the next poll.
+        """
+        self.table.refresh()
+        to_id = self.table.snapshot_id
+        frm = self.position()
+        if to_id == frm:
+            return None
+        return self.table.read_changes(frm, to_id), to_id
+
+    def commit(self, snapshot_id: int) -> None:
+        """Atomically advance the cursor (write + rename, fsync'd) —
+        call only after the downstream effect of the polled diff is
+        durable."""
+        os.makedirs(os.path.dirname(self.cursor_path) or ".", exist_ok=True)
+        tmp = f"{self.cursor_path}.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(snapshot_id))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.cursor_path)
+
+
+def feed_to_changes(diff: DataFrame, ordinal: int) -> DataFrame:
+    """Convert a ``read_changes`` diff into the change-event envelope
+    (op/lsn/op_seq + payload) so it can be ``apply_batch``-ed into a
+    downstream LakeTable — table mirroring / derived-table maintenance
+    driven by the feed instead of full re-reads.
+
+    ``ordinal`` (use the feed's ``to_snapshot``) becomes lsn/op_seq:
+    later polls out-version earlier ones, and a delete's pre-image ts
+    ties with the mirrored row's ts so the higher op_seq lets the
+    tombstone win.
+    """
+    return diff.select(
+        F.lit(ordinal).cast("long").alias("lsn"),
+        F.lit(ordinal).cast("long").alias("op_seq"),
+        F.when(F.col("_change_type") == "delete", F.lit("d"))
+        .otherwise(F.lit("c"))
+        .alias("op"),
+        *[c for c in diff.columns if c != "_change_type"],
+    )

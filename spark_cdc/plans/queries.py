@@ -964,6 +964,88 @@ def cdc_time_travel(spark, sf_dir):
 
 
 @query(
+    "cdc_change_feed",
+    """
+    WITH a AS (
+      SELECT conv_id, turn_idx, text, ts FROM (
+        SELECT concat('u', user_id) AS conv_id,
+               CAST(event_id % 20 AS INTEGER) AS turn_idx,
+               event_type AS text, ts,
+               CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END AS op,
+               row_number() OVER (
+                 PARTITION BY concat('u', user_id), CAST(event_id % 20 AS INTEGER)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 4 = 0)
+      WHERE rn = 1 AND op <> 'd'),
+    b AS (
+      SELECT conv_id, turn_idx, text, ts FROM (
+        SELECT concat('u', user_id) AS conv_id,
+               CAST(event_id % 20 AS INTEGER) AS turn_idx,
+               event_type AS text, ts,
+               CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END AS op,
+               row_number() OVER (
+                 PARTITION BY concat('u', user_id), CAST(event_id % 20 AS INTEGER)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1 AND op <> 'd')
+    SELECT coalesce(a.conv_id, b.conv_id)   AS conv_id,
+           coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+           CASE WHEN b.conv_id IS NULL THEN a.text ELSE b.text END AS text,
+           CASE WHEN a.conv_id IS NULL THEN 'insert'
+                WHEN b.conv_id IS NULL THEN 'delete'
+                ELSE 'update_postimage' END AS change_type
+    FROM a FULL OUTER JOIN b
+      ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+    WHERE a.conv_id IS NULL OR b.conv_id IS NULL
+       OR a.text IS DISTINCT FROM b.text OR a.ts IS DISTINCT FROM b.ts
+    """,
+)
+def cdc_change_feed(spark, sf_dir):
+    """Change data feed under the driver oracle: after a first merge
+    (snapshot A) and a second merge on top, ``read_changes(A)`` must
+    emit exactly the NET per-key diff — inserts for keys that appeared,
+    update post-images for keys whose payload changed, deletes (with
+    pre-image) for keys that died — and nothing for keys rewritten with
+    identical payloads. The oracle recomputes the diff as a full outer
+    join of the two replayed states. The engine side reads only buckets
+    whose manifest file lists differ (change-set-proportional cost)."""
+    import tempfile
+
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.lake.table import LakeTable
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("event_id").alias("op_seq"),
+        F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("c")).alias("op"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        F.pmod("event_id", F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("text"),
+        F.col("ts"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="spark_cdc_contract_cdf_") + "/t"
+    table = LakeTable.create(
+        spark, path, schema, key_columns=["conv_id", "turn_idx"], num_buckets=8
+    )
+    apply_batch(table, log.where(F.pmod("lsn", F.lit(4)) == 0), batch_id=0, collect_lineage=False)
+    first_snap = table.snapshot_id
+    apply_batch(table, log.where(F.pmod("lsn", F.lit(4)) != 0), batch_id=1, collect_lineage=False)
+    return table.read_changes(first_snap).select(
+        "conv_id", "turn_idx", "text", F.col("_change_type").alias("change_type")
+    )
+
+
+@query(
     "rollup_incremental_state",
     """
     SELECT user_id,

@@ -74,3 +74,61 @@ def test_schema_evolution_null_backfill(spark, tmp_table_path):
     t.append(new)
     got = {r["conv_id"]: r["tool"] for r in t.read().collect()}
     assert got == {"c1": None, "c2": "search"}
+
+
+def test_read_changes_net_diff(spark, tmp_table_path):
+    import datetime
+
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.cdc.envelope import CHANGE_SCHEMA
+    from spark_cdc.lake.maintenance import compact
+
+    t = LakeTable.create(
+        spark, tmp_table_path, PAYLOAD_SCHEMA, key_columns=["conv_id", "turn_idx"], num_buckets=8
+    )
+
+    def ev(lsn, op, conv, turn, text, ts):
+        return (lsn, lsn, op, conv, turn, "user", text, None, ts)
+
+    ts0 = datetime.datetime(2024, 1, 1)
+    ts1 = datetime.datetime(2024, 1, 2)
+    b0 = spark.createDataFrame(
+        [ev(1, "c", "c1", 0, "a", ts0), ev(2, "c", "c1", 1, "b", ts0), ev(3, "c", "c2", 0, "c", ts0)],
+        CHANGE_SCHEMA,
+    )
+    apply_batch(t, b0, batch_id=0, collect_lineage=False)
+    snap_a = t.snapshot_id
+    b1 = spark.createDataFrame(
+        [
+            ev(4, "u", "c1", 0, "a2", ts1),
+            ev(5, "c", "c1", 1, "b", ts0),  # identical payload rewrite -> nets out
+            ev(6, "d", "c2", 0, "c", ts1),
+            ev(7, "c", "c3", 0, "d", ts1),
+        ],
+        CHANGE_SCHEMA,
+    )
+    apply_batch(t, b1, batch_id=1, collect_lineage=False)
+    feed = {
+        (r["conv_id"], r["turn_idx"]): (r["_change_type"], r["text"])
+        for r in t.read_changes(snap_a).collect()
+    }
+    assert feed == {
+        ("c1", 0): ("update_postimage", "a2"),
+        ("c2", 0): ("delete", "c"),
+        ("c3", 0): ("insert", "d"),
+    }
+    # identical snapshots and maintenance-only commits net to an empty feed
+    snap_b = t.snapshot_id
+    compact(t, drop_tombstones=True)
+    assert t.read_changes(snap_a, snap_a).count() == 0
+    assert t.read_changes(snap_b).count() == 0
+    # the same net diff holds when the 'to' side was compacted meanwhile
+    feed2 = {
+        (r["conv_id"], r["turn_idx"]): r["_change_type"]
+        for r in t.read_changes(snap_a).collect()
+    }
+    assert feed2 == {
+        ("c1", 0): "update_postimage",
+        ("c2", 0): "delete",
+        ("c3", 0): "insert",
+    }
