@@ -264,6 +264,11 @@ def run_ann_d768(spark, sf: float) -> float:
     from spark_cdc.sources.changelog import generate_embeddings
 
     n, dim = 100_000, 768
+    # earlier suite queries persist candidate sets (LSH dedup, ANN);
+    # leftover cached blocks squeeze this query's wide Arrow batches
+    # into spills (measured 44s polluted vs 11s clean), so start from
+    # an empty block manager
+    spark.catalog.clearCache()
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     path = os.path.join(base, f"spark_cdc_bench_emb_{n}x{dim}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):

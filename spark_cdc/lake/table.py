@@ -98,6 +98,9 @@ class LakeTable:
         # commit — per-phase lineage for MergeResult.phases and bench
         self.last_write_ms = 0.0
         self.last_commit_ms = 0.0
+        # per-file [min,max] key stats from the most recent _write_data,
+        # folded into the manifest by _commit_next
+        self._last_write_stats: dict[str, list] = {}
 
     # ------------------------------------------------------------- create/load
     @staticmethod
@@ -208,6 +211,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_hidden: bool = False,
         resolve: bool | None = None,
+        key_between: tuple | None = None,
     ) -> DataFrame:
         """Snapshot read; optionally restricted to a bucket subset.
 
@@ -221,6 +225,15 @@ class LakeTable:
         latest-version-per-key on the fly (Iceberg MoR read path).
         ``resolve`` forces/suppresses this (default: auto from the
         manifest's ``delta_buckets``).
+
+        ``key_between=(lo, hi)`` additionally prunes FILES via the
+        manifest's per-file min/max statistics on the bucket column
+        (files are written sorted by key, so ranges are tight) — the
+        Iceberg data-file skipping analogue. Only a pre-filter: pair it
+        with a real ``.where`` on the key (see :meth:`lookup`). Files
+        from pre-stats manifests have no recorded range and are kept.
+        Correct under MoR because every version of a key lies in a
+        file whose range covers it.
         """
         manifest = (
             self.manifest if snapshot_id is None else self._read_manifest(snapshot_id)
@@ -231,10 +244,23 @@ class LakeTable:
             for b in manifest.get("delta_buckets", [])
             if buckets is None or int(b) in buckets
         }
+        stats = manifest.get("file_stats", {})
+
+        def overlaps(rel: str) -> bool:
+            if key_between is None:
+                return True
+            rng = stats.get(rel)
+            if not rng:
+                return True
+            lo, hi = key_between
+            return not (rng[1] < lo or rng[0] > hi)
+
         files: list[str] = []
         for b, flist in manifest["files"].items():
             if buckets is None or int(b) in buckets:
-                files.extend(os.path.join(self.path, f) for f in flist)
+                files.extend(
+                    os.path.join(self.path, f) for f in flist if overlaps(f)
+                )
         if not files:
             df = self.spark.createDataFrame([], schema)
         else:
@@ -247,6 +273,32 @@ class LakeTable:
                 df = df.filter(~F.coalesce(F.col(V_DEL), F.lit(False)))
             df = df.drop(*[c for c in HIDDEN_COLS if c in df.columns])
         return df
+
+    def lookup(self, key_value, snapshot_id: int | None = None) -> DataFrame:
+        """Point read of one bucket-key value (e.g. one conversation):
+        hash to its bucket, skip files whose min/max key range misses
+        it, then filter — the serving-path read. On a bucketed 100 TB
+        table this touches 1/num_buckets of the metadata and, within
+        the bucket, only files actually containing the key (tight
+        ranges: files are written key-sorted); MoR resolution then runs
+        over just those rows."""
+        col = self.bucket_column
+        if not col:
+            raise ValueError("lookup requires a bucketed table")
+        row = (
+            self.spark.createDataFrame(
+                [(key_value,)],
+                T.StructType([T.StructField(col, self.schema[col].dataType)]),
+            )
+            .select(bucket_expr(col, self.num_buckets).alias("b"))
+            .first()
+        )
+        df = self.read(
+            snapshot_id=snapshot_id,
+            buckets=[int(row["b"])],
+            key_between=(key_value, key_value),
+        )
+        return df.where(F.col(col) == F.lit(key_value))
 
     def read_changes(
         self,
@@ -497,6 +549,7 @@ class LakeTable:
         import time as _time
 
         t0 = _time.monotonic()
+        self._last_write_stats = {}
         rel_dir = os.path.join(DATA_DIR, f"snap{snapshot_id}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
         if self.key_columns:
@@ -517,8 +570,77 @@ class LakeTable:
                 for f in sorted(os.listdir(bdir))
                 if f.endswith(".parquet")
             ]
+        self._last_write_stats = self._collect_file_stats(files)
         self.last_write_ms = (_time.monotonic() - t0) * 1000
         return files
+
+    def _collect_file_stats(self, files: dict[str, list[str]]) -> dict[str, list]:
+        """Per-file [min, max] of the bucket column from parquet
+        footers (files are sorted by key, so ranges are tight) —
+        powers manifest-level data-file skipping (``read(key_between=
+        ...)``), the Iceberg per-file column-stats analogue.
+
+        Footers are read driver-side here (a commit writes ≤ #buckets
+        files, each footer is a few KB); on a real cluster the write
+        tasks return these stats with their commit messages, as
+        Iceberg writers do — the manifest shape is identical. Values
+        are recorded only when they serialize safely AND order
+        consistently between parquet (UTF-8 bytes) and Python
+        (codepoints): ints, floats, ASCII strings. Files without a
+        recorded range are never pruned.
+        """
+        col = self.bucket_column
+        if not col:
+            return {}
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:
+            return {}
+
+        def safe(v):
+            if isinstance(v, bytes):
+                try:
+                    v = v.decode("utf-8")
+                except UnicodeDecodeError:
+                    return None
+            if isinstance(v, str):
+                return v if v.isascii() else None
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return v
+            return None
+
+        out: dict[str, list] = {}
+        for fl in files.values():
+            for rel in fl:
+                try:
+                    md = pq.read_metadata(os.path.join(self.path, rel))
+                except Exception:
+                    continue
+                idx = next(
+                    (
+                        j
+                        for j in range(md.num_columns)
+                        if md.row_group(0).column(j).path_in_schema == col
+                    ),
+                    None,
+                ) if md.num_row_groups else None
+                if idx is None:
+                    continue
+                mins, maxs = [], []
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        mins = []
+                        break
+                    lo, hi = safe(st.min), safe(st.max)
+                    if lo is None or hi is None:
+                        mins = []
+                        break
+                    mins.append(lo)
+                    maxs.append(hi)
+                if mins:
+                    out[rel] = [min(mins), max(maxs)]
+        return out
 
     def _commit_next(
         self,
@@ -529,6 +651,11 @@ class LakeTable:
         delta_buckets: list[int] | None = None,
     ) -> None:
         manifest = dict(self.manifest)
+        live = {f for fl in files.values() for f in fl}
+        merged_stats = {
+            **self.manifest.get("file_stats", {}),
+            **self._last_write_stats,
+        }
         manifest.update(
             {
                 "snapshot_id": new_id,
@@ -541,6 +668,7 @@ class LakeTable:
                     if delta_buckets is not None
                     else list(self.manifest.get("delta_buckets", []))
                 ),
+                "file_stats": {f: s for f, s in merged_stats.items() if f in live},
             }
         )
         self._commit(manifest)

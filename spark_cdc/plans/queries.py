@@ -1046,6 +1046,64 @@ def cdc_change_feed(spark, sf_dir):
 
 
 @query(
+    "cdc_point_lookup",
+    """
+    SELECT conv_id, turn_idx, text
+    FROM (
+      SELECT concat('u', user_id) AS conv_id,
+             CAST(event_id % 20 AS INTEGER) AS turn_idx,
+             event_type AS text,
+             CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END AS op,
+             row_number() OVER (
+               PARTITION BY concat('u', user_id), CAST(event_id % 20 AS INTEGER)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1 AND op <> 'd' AND conv_id = 'u7'
+    """,
+)
+def cdc_point_lookup(spark, sf_dir):
+    """The serving-path read under the driver oracle: after 4 MoR
+    merges (uncompacted, multi-generation delta files), ``lookup``
+    must return one conversation's resolved latest state — bucket
+    hash-pruned, then file-skipped via the manifest's per-file key
+    min/max stats, with MoR resolution running over just the kept
+    files. Equal to filtering the full replay, by construction of the
+    covering-file invariant."""
+    import tempfile
+
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.lake.table import LakeTable
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("event_id").alias("op_seq"),
+        F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("c")).alias("op"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        F.pmod("event_id", F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("text"),
+        F.col("ts"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="spark_cdc_contract_lkp_") + "/t"
+    table = LakeTable.create(
+        spark, path, schema, key_columns=["conv_id", "turn_idx"], num_buckets=8
+    )
+    for i in range(4):
+        apply_batch(table, log.where(F.pmod("lsn", F.lit(4)) == i), batch_id=i,
+                    mode="mor", collect_lineage=False)
+    return table.lookup("u7").select("conv_id", "turn_idx", "text")
+
+
+@query(
     "rollup_incremental_state",
     """
     SELECT user_id,

@@ -132,3 +132,52 @@ def test_read_changes_net_diff(spark, tmp_table_path):
         ("c2", 0): "delete",
         ("c3", 0): "insert",
     }
+
+
+def test_file_stats_pruning_and_lookup(spark, tmp_table_path):
+    """Manifest-level data-file skipping: per-file key min/max recorded
+    at write time prunes files inside a bucket for point/range reads,
+    and MoR resolution still sees every generation covering the key."""
+    import datetime
+
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.cdc.envelope import CHANGE_SCHEMA
+
+    t = LakeTable.create(
+        spark, tmp_table_path, PAYLOAD_SCHEMA, key_columns=["conv_id", "turn_idx"], num_buckets=1
+    )
+
+    def batch(lsns, convs, text, day):
+        return spark.createDataFrame(
+            [
+                (lsn, lsn, "c", f"c{c:03d}", 0, "user", text, None,
+                 datetime.datetime(2024, 1, day))
+                for lsn, c in zip(lsns, convs)
+            ],
+            CHANGE_SCHEMA,
+        )
+
+    # three MoR generations in ONE bucket with known key ranges:
+    # gen1 c000-c099, gen2 c100-c199, gen3 updates c000 only
+    apply_batch(t, batch(range(0, 100), range(0, 100), "v1", 1),
+                batch_id=0, mode="mor", collect_lineage=False)
+    apply_batch(t, batch(range(100, 200), range(100, 200), "v1", 1),
+                batch_id=1, mode="mor", collect_lineage=False)
+    apply_batch(t, batch([200], [0], "v2", 2),
+                batch_id=2, mode="mor", collect_lineage=False)
+
+    stats = t.manifest["file_stats"]
+    all_files = [f for fl in t.manifest["files"].values() for f in fl]
+    assert len(all_files) == 3 and set(stats) == set(all_files)
+    assert sorted(tuple(s) for s in stats.values()) == [
+        ("c000", "c000"), ("c000", "c099"), ("c100", "c199"),
+    ]
+    # range read prunes to the covering generation only
+    assert t.read(key_between=("c150", "c150")).count() == 100
+    assert t.read().count() == 200
+    # point lookup: both covering generations kept, latest version wins
+    got = t.lookup("c000").collect()
+    assert [(r["conv_id"], r["text"]) for r in got] == [("c000", "v2")]
+    want = [(r["conv_id"], r["text"])
+            for r in t.read().where("conv_id = 'c150'").collect()]
+    assert [(r["conv_id"], r["text"]) for r in t.lookup("c150").collect()] == want
