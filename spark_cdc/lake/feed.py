@@ -53,21 +53,26 @@ class ChangeFeedConsumer:
         except FileNotFoundError:
             return self.start_snapshot
 
-    def poll(self) -> tuple[DataFrame, int] | None:
+    def poll(self, include_preimage: bool = False) -> tuple[DataFrame, int] | None:
         """Net diff since the cursor, or None when caught up.
 
         Returns ``(diff, to_snapshot)``; the caller processes ``diff``
         and then :meth:`commit`\\ s ``to_snapshot``. The diff is pinned
         to the head snapshot observed at poll time, so concurrent
         commits to the source between poll and commit are simply picked
-        up by the next poll.
+        up by the next poll. ``include_preimage`` passes through to
+        :meth:`LakeTable.read_changes` (retraction consumers need both
+        images — see :mod:`spark_cdc.operators.ivm`).
         """
         self.table.refresh()
         to_id = self.table.snapshot_id
         frm = self.position()
         if to_id == frm:
             return None
-        return self.table.read_changes(frm, to_id), to_id
+        return (
+            self.table.read_changes(frm, to_id, include_preimage=include_preimage),
+            to_id,
+        )
 
     def commit(self, snapshot_id: int) -> None:
         """Atomically advance the cursor (write + rename, fsync'd) —

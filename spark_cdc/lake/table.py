@@ -304,6 +304,7 @@ class LakeTable:
         self,
         from_snapshot_id: int,
         to_snapshot_id: int | None = None,
+        include_preimage: bool = False,
     ) -> DataFrame:
         """Change data feed: the NET row-level diff between two
         snapshots (Delta ``readChangeFeed`` / Iceberg
@@ -317,6 +318,13 @@ class LakeTable:
         payload. A key rewritten with an identical payload (e.g. by
         compaction) produces no row, so maintenance commits net out to
         an empty feed.
+
+        ``include_preimage=True`` returns both images per row — payload
+        columns hold the post-image (null for deletes) and ``_pre_<c>``
+        columns the pre-image (null for inserts) — the shape retraction
+        consumers need (incremental aggregate maintenance subtracts the
+        pre-image contribution and adds the post-image one, see
+        :mod:`spark_cdc.operators.ivm`).
 
         Scale path: per-bucket file lists carry over BY REFERENCE
         across commits, so buckets whose lists are identical in both
@@ -343,9 +351,13 @@ class LakeTable:
         ]
         pay = [c for c in to_user if c not in keys]
         to_fields = {f.name: f for f in T.StructType.fromJson(m_to["schema"]).fields}
+        out_fields = [to_fields[c] for c in keys + pay]
+        if include_preimage:
+            out_fields += [
+                T.StructField(f"_pre_{c}", to_fields[c].dataType, True) for c in pay
+            ]
         schema_out = T.StructType(
-            [to_fields[c] for c in keys + pay]
-            + [T.StructField("_change_type", T.StringType(), False)]
+            out_fields + [T.StructField("_change_type", T.StringType(), False)]
         )
         if not changed:
             return self.spark.createDataFrame([], schema_out)
@@ -366,13 +378,21 @@ class LakeTable:
             .when(F.col("_new").isNull(), F.lit("delete"))
             .when(F.col("_new") != F.col("_old"), F.lit("update_postimage"))
         )
+        j = j.withColumn("_change_type", change).where(
+            F.col("_change_type").isNotNull()
+        )
+        if include_preimage:
+            return j.select(
+                *keys,
+                *[F.col(f"_new.{c}").alias(c) for c in pay],
+                *[F.col(f"_old.{c}").alias(f"_pre_{c}") for c in pay],
+                "_change_type",
+            )
         winner = F.when(
             F.col("_change_type") == "delete", F.col("_old")
         ).otherwise(F.col("_new"))
         return (
-            j.withColumn("_change_type", change)
-            .where(F.col("_change_type").isNotNull())
-            .withColumn("_row", winner)
+            j.withColumn("_row", winner)
             .select(
                 *keys,
                 *[F.col(f"_row.{c}").alias(c) for c in pay],

@@ -36,12 +36,27 @@ class IncrementalRollup:
             "impressions": F.count(F.when(F.col("event_type") == "view", 1)),
             "clicks": F.count(F.when(F.col("event_type") == "click", 1)),
         })
+
+    ``count_col`` names a measure holding the group's (signed) row
+    count; groups whose count reaches 0 are dropped from the rollup at
+    merge time, so a retraction-maintained view (see
+    :mod:`spark_cdc.operators.ivm`) stays row-identical to the
+    from-scratch aggregate even when a group's last source row is
+    deleted. Standard IVM bookkeeping — without it a vanished group
+    would linger as an all-zero row.
     """
 
-    def __init__(self, table: LakeTable, group_cols: list[str], measures: dict[str, Column]):
+    def __init__(
+        self,
+        table: LakeTable,
+        group_cols: list[str],
+        measures: dict[str, Column],
+        count_col: str | None = None,
+    ):
         self.table = table
         self.group_cols = group_cols
         self.measures = measures
+        self.count_col = count_col
 
     def apply_batch(self, batch: DataFrame, batch_id: int | None = None) -> int:
         last = self.table.properties.get("last_batch_id", {}).get("rollup")
@@ -75,6 +90,11 @@ class IncrementalRollup:
                 (F.sum(name).cast(decl[name]) if name in decl else F.sum(name)).alias(name)
                 for name in self.measures
             ])
+        )
+        if self.count_col:
+            merged = merged.where(F.col(self.count_col) != 0)
+        merged = (
+            merged
             .withColumn(BUCKET_COL, bucket_expr(self.table.bucket_column, self.table.num_buckets))
             .repartition(max(len(touched) // 4, 1), F.col(BUCKET_COL))
         )

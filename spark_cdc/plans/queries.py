@@ -1104,6 +1104,89 @@ def cdc_point_lookup(spark, sf_dir):
 
 
 @query(
+    "ivm_feed_rollup",
+    """
+    SELECT text,
+           CAST(count(*) AS BIGINT)      AS turns,
+           CAST(sum(turn_idx) AS BIGINT) AS turn_sum
+    FROM (
+      SELECT conv_id, turn_idx, text FROM (
+        SELECT concat('u', user_id) AS conv_id,
+               CAST(event_id % 20 AS INTEGER) AS turn_idx,
+               event_type AS text,
+               CASE WHEN event_type = 'error' THEN 'd' ELSE 'c' END AS op,
+               row_number() OVER (
+                 PARTITION BY concat('u', user_id), CAST(event_id % 20 AS INTEGER)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1 AND op <> 'd')
+    GROUP BY text
+    """,
+)
+def ivm_feed_rollup(spark, sf_dir):
+    """Incremental view maintenance under updates AND deletes, driven
+    by the change feed: a per-text rollup over a MERGE-maintained
+    source is maintained across 4 CDC merges purely from pre/post-image
+    diffs (retraction algebra: +post, −pre as signed additive deltas),
+    and must equal the from-scratch GROUP BY over the source's final
+    state. Goes beyond the reference's SummingMergeTree views, which
+    only ever ingest append-only facts (kpi_views.sql) and whose CDC
+    path drops deletes (processor.py:214-217)."""
+    import tempfile
+
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.lake.feed import ChangeFeedConsumer
+    from spark_cdc.lake.table import LakeTable
+    from spark_cdc.operators.ivm import maintain_from_feed, signed_count, signed_sum
+    from spark_cdc.operators.rollup import IncrementalRollup
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("event_id").alias("op_seq"),
+        F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("c")).alias("op"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        F.pmod("event_id", F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("text"),
+        F.col("ts"),
+    )
+    src_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    rollup_schema = T.StructType(
+        [
+            T.StructField("text", T.StringType(), False),
+            T.StructField("turns", T.LongType(), True),
+            T.StructField("turn_sum", T.LongType(), True),
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="spark_cdc_contract_ivm_")
+    src = LakeTable.create(
+        spark, base + "/src", src_schema, key_columns=["conv_id", "turn_idx"], num_buckets=8
+    )
+    rt = LakeTable.create(
+        spark, base + "/rollup", rollup_schema, key_columns=["text"], num_buckets=4
+    )
+    rollup = IncrementalRollup(
+        rt, ["text"],
+        {"turns": signed_count(), "turn_sum": signed_sum(F.col("turn_idx").cast("long"))},
+        count_col="turns",
+    )
+    consumer = ChangeFeedConsumer(src, base + "/cursor")
+    for i in range(4):
+        apply_batch(src, log.where(F.pmod("lsn", F.lit(4)) == i), batch_id=i,
+                    collect_lineage=False)
+        maintain_from_feed(rollup, consumer)
+    return rt.read().select("text", "turns", "turn_sum")
+
+
+@query(
     "rollup_incremental_state",
     """
     SELECT user_id,
