@@ -37,6 +37,21 @@ from pyspark.sql import functions as F
 from spark_cdc.lake.table import LakeTable
 
 
+class FeedExpiredError(RuntimeError):
+    """The consumer's cursor snapshot has been removed by snapshot
+    retention (:func:`spark_cdc.lake.maintenance.expire_snapshots`)
+    before the consumer caught up — the diff base no longer exists.
+
+    Recovery depends on the consumer's semantics: a merge-idempotent
+    mirror re-bootstraps from :meth:`ChangeFeedConsumer.bootstrap`
+    (full state as inserts; re-merging rows it already holds is a
+    no-op); a retraction consumer (IVM) must rebuild its view from
+    scratch, since replaying full state as inserts would double-count.
+    Operationally: retention must out-last the slowest consumer, same
+    as Kafka topic retention vs consumer lag.
+    """
+
+
 class ChangeFeedConsumer:
     """Cursor-tracked poll loop over a table's net change feed."""
 
@@ -69,8 +84,29 @@ class ChangeFeedConsumer:
         frm = self.position()
         if to_id == frm:
             return None
+        try:
+            return (
+                self.table.read_changes(frm, to_id, include_preimage=include_preimage),
+                to_id,
+            )
+        except FileNotFoundError as e:
+            raise FeedExpiredError(
+                f"cursor snapshot {frm} of table {self.table.path} was expired "
+                "by snapshot retention before this consumer caught up; "
+                "re-bootstrap (merge-idempotent mirrors: bootstrap(); "
+                "retraction consumers: rebuild the view)"
+            ) from e
+
+    def bootstrap(self) -> tuple[DataFrame, int]:
+        """Full current state as an insert-only diff + head snapshot id
+        — recovery path after :class:`FeedExpiredError` for consumers
+        whose apply is merge-idempotent (mirrors: re-merging rows they
+        already hold is a no-op). Commit the returned snapshot after
+        applying, then resume normal polling."""
+        self.table.refresh()
+        to_id = self.table.snapshot_id
         return (
-            self.table.read_changes(frm, to_id, include_preimage=include_preimage),
+            self.table.read().withColumn("_change_type", F.lit("insert")),
             to_id,
         )
 

@@ -80,6 +80,33 @@ def signed_sum(col: Column | str) -> Column:
     return F.coalesce(F.sum(c * F.col(SIGN_COL)), F.lit(0))
 
 
+class MaintainedView:
+    """Auto-maintained aggregate view attached to an ingest stream —
+    the analogue of the reference's ClickHouse materialized views,
+    which advance implicitly on every insert (kpi_views.sql), but
+    correct under updates and deletes too.
+
+    Plug :meth:`on_batch` into a stream runner::
+
+        view = MaintainedView(rollup, ChangeFeedConsumer(table, cursor))
+        StreamRunner(spark, table, src, ckpt, on_batch=view.on_batch)
+
+    After every merged micro-batch the view drains the table's change
+    feed, so the aggregate is in lockstep with the table the stream
+    maintains. Crash-safe: the feed cursor and the rollup's batch-id
+    guard make redelivered maintenance idempotent, and a crash between
+    table commit and view maintenance is healed by the next batch's
+    drain (the feed diff is cumulative since the cursor).
+    """
+
+    def __init__(self, rollup, consumer):
+        self.rollup = rollup
+        self.consumer = consumer
+
+    def on_batch(self, batch_id: int | None = None, res=None) -> None:
+        maintain_from_feed(self.rollup, self.consumer)
+
+
 def maintain_from_feed(rollup, consumer) -> int:
     """Drain a :class:`spark_cdc.lake.feed.ChangeFeedConsumer` into an
     :class:`~spark_cdc.operators.rollup.IncrementalRollup` whose

@@ -114,3 +114,82 @@ def test_ivm_multi_commit_poll(spark, tmp_path):
     # both commits drain in ONE poll
     assert maintain_from_feed(rollup, consumer) == 1
     assert _maintained(rt) == _scratch(src) == [("user", 1, 2)]
+
+
+def test_ivm_maintained_view_on_stream(spark, tmp_path):
+    """A MaintainedView attached to the streaming runner keeps the
+    aggregate in lockstep with the table the stream merges into — the
+    ClickHouse MV-on-ingest behaviour, correct under deletes too."""
+    from spark_cdc.operators.ivm import MaintainedView
+    from spark_cdc.sources.changelog import generate_change_log
+    from spark_cdc.streaming import StreamRunner
+
+    log = generate_change_log(spark, n_events=3000, n_convs=50, seed=33)
+    src_dir = str(tmp_path / "changelog")
+    log.coalesce(4).write.parquet(src_dir)
+    table = LakeTable.create(
+        spark, str(tmp_path / "table"), PAYLOAD_SCHEMA,
+        key_columns=["conv_id", "turn_idx"], num_buckets=4,
+    )
+    rt = LakeTable.create(
+        spark, str(tmp_path / "rollup"), ROLLUP_SCHEMA, key_columns=["role"], num_buckets=4
+    )
+    rollup = IncrementalRollup(
+        rt, ["role"],
+        {"turns": signed_count(), "chars": signed_sum(F.length("text"))},
+        count_col="turns",
+    )
+    view = MaintainedView(rollup, ChangeFeedConsumer(table, str(tmp_path / "cursor")))
+    runner = StreamRunner(
+        spark, table, src_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, on_batch=view.on_batch,
+    )
+    runner.run_available()
+    assert len(runner.results) >= 2  # several micro-batches actually ran
+    assert _maintained(rt) == _scratch(table)
+
+
+def test_feed_expired_cursor_and_bootstrap(spark, tmp_path):
+    """A cursor falling behind snapshot retention raises FeedExpiredError;
+    a merge-idempotent mirror recovers via bootstrap()."""
+    import pytest
+
+    from spark_cdc.lake.feed import FeedExpiredError, feed_to_changes
+    from spark_cdc.lake.maintenance import expire_snapshots
+
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), PAYLOAD_SCHEMA,
+        key_columns=["conv_id", "turn_idx"], num_buckets=4,
+    )
+    mirror = LakeTable.create(
+        spark, str(tmp_path / "mirror"), PAYLOAD_SCHEMA,
+        key_columns=["conv_id", "turn_idx"], num_buckets=4,
+    )
+    consumer = ChangeFeedConsumer(src, str(tmp_path / "cursor"))
+    # first poll applied to the mirror, cursor committed
+    apply_batch(src, spark.createDataFrame(
+        [_ev(1, "c", "c1", 0, "user", "a", 1)], CHANGE_SCHEMA),
+        batch_id=0, collect_lineage=False)
+    diff, snap = consumer.poll()
+    apply_batch(mirror, feed_to_changes(diff, snap), batch_id=snap, collect_lineage=False)
+    consumer.commit(snap)
+    # consumer stalls while the source advances 4 commits and retention expires its base
+    for i in range(1, 5):
+        apply_batch(src, spark.createDataFrame(
+            [_ev(i + 1, "c", f"c{i+1}", 0, "user", f"t{i}", i + 1)], CHANGE_SCHEMA),
+            batch_id=i, collect_lineage=False)
+    expire_snapshots(src, keep_last=2)
+    with pytest.raises(FeedExpiredError):
+        consumer.poll()
+    # mirror recovery: full state as inserts, merge-idempotent
+    full, head = consumer.bootstrap()
+    apply_batch(mirror, feed_to_changes(full, head), batch_id=head, collect_lineage=False)
+    consumer.commit(head)
+    assert consumer.poll() is None
+    assert _state(mirror) == _state(src)
+
+
+def _state(table):
+    return sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in table.read().collect()
+    )
