@@ -83,6 +83,13 @@ def main(argv: list[str] | None = None) -> int:
     p_feed.add_argument("--mirror", required=True, help="mirror lake table root")
     p_feed.add_argument("--cursor", required=True, help="cursor file path")
     p_feed.add_argument("--num-buckets", type=int, default=64)
+    p_feed.add_argument(
+        "--follow", action="store_true",
+        help="keep polling after catch-up (service mode; SIGTERM/SIGINT "
+        "stop gracefully after the in-flight poll commits)",
+    )
+    p_feed.add_argument("--interval", type=float, default=5.0,
+                        help="seconds between caught-up polls in --follow mode")
 
     p_comp = sub.add_parser("compact", help="compact + expire snapshots")
     p_comp.add_argument("--table", required=True)
@@ -118,13 +125,33 @@ def main(argv: list[str] | None = None) -> int:
                 key_columns=src.key_columns, num_buckets=args.num_buckets,
             )
         consumer = ChangeFeedConsumer(src, args.cursor)
-        polls = 0
-        while (got := consumer.poll()) is not None:
-            diff, to_snap = got
+
+        def apply_diff(diff, to_snap):
             apply_batch(mirror, feed_to_changes(diff, to_snap),
                         batch_id=to_snap, collect_lineage=False)
-            consumer.commit(to_snap)
-            polls += 1
+
+        if args.follow:
+            import signal
+            import threading
+
+            from spark_cdc.lake.feed import follow
+
+            stop_requested: list[int] = []
+            if threading.current_thread() is threading.main_thread():
+                # flag-only handlers, same discipline as `stream
+                # --continuous`: the loop checks the flag at iteration
+                # boundaries, so an in-flight poll commits before exit
+                signal.signal(signal.SIGTERM, lambda s, f: stop_requested.append(s))
+                signal.signal(signal.SIGINT, lambda s, f: stop_requested.append(s))
+            polls = follow(
+                consumer, apply_diff,
+                interval_sec=args.interval,
+                should_stop=lambda: bool(stop_requested),
+            )
+        else:
+            from spark_cdc.lake.feed import follow
+
+            polls = follow(consumer, apply_diff, interval_sec=0.0, max_idle_polls=1)
         print(json.dumps({
             "polls": polls,
             "cursor": consumer.position(),

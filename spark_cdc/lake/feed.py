@@ -123,6 +123,46 @@ class ChangeFeedConsumer:
         os.replace(tmp, self.cursor_path)
 
 
+def follow(
+    consumer: ChangeFeedConsumer,
+    apply_fn,
+    interval_sec: float = 5.0,
+    should_stop=None,
+    max_idle_polls: int | None = None,
+) -> int:
+    """Service loop over the feed: poll → ``apply_fn(diff, to_snap)`` →
+    commit, sleeping ``interval_sec`` between caught-up polls — the
+    egress twin of the reference's consumer poll loop
+    (/root/reference/stream_etl/core/consumer.py:86-109).
+
+    ``should_stop()`` (e.g. a signal-set flag) ends the loop at the
+    next iteration boundary, after any in-flight apply+commit completes
+    — the same graceful-shutdown discipline as ``stream --continuous``.
+    ``max_idle_polls`` ends it after that many consecutive caught-up
+    polls (catch-up mode / tests). Returns the number of applied polls.
+    """
+    import time
+
+    polls = 0
+    idle = 0
+    while True:
+        if should_stop is not None and should_stop():
+            break
+        got = consumer.poll()
+        if got is None:
+            idle += 1
+            if max_idle_polls is not None and idle >= max_idle_polls:
+                break
+            time.sleep(interval_sec)
+            continue
+        idle = 0
+        diff, to_snap = got
+        apply_fn(diff, to_snap)
+        consumer.commit(to_snap)
+        polls += 1
+    return polls
+
+
 def feed_to_changes(diff: DataFrame, ordinal: int) -> DataFrame:
     """Convert a ``read_changes`` diff into the change-event envelope
     (op/lsn/op_seq + payload) so it can be ``apply_batch``-ed into a

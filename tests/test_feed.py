@@ -101,3 +101,32 @@ def test_feed_mirror_cli(spark, tmp_path):
     cursor_before = int(open(str(tmp_path / "cursor")).read())
     assert main(argv) == 0  # caught up: no-op, cursor unchanged
     assert int(open(str(tmp_path / "cursor")).read()) == cursor_before
+
+
+def test_feed_follow_loop(spark, tmp_path):
+    """follow(): one poll drains any number of staged commits, idle
+    polls end catch-up mode, should_stop ends service mode."""
+    from spark_cdc.lake.feed import follow
+
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), PAYLOAD_SCHEMA,
+        key_columns=["conv_id", "turn_idx"], num_buckets=4,
+    )
+    mirror = LakeTable.create(
+        spark, str(tmp_path / "mirror"), PAYLOAD_SCHEMA,
+        key_columns=["conv_id", "turn_idx"], num_buckets=4,
+    )
+    consumer = ChangeFeedConsumer(src, str(tmp_path / "cursor"))
+    apply_batch(src, spark.createDataFrame([_ev(1, "c", "c1", 0, "a", 1)], CHANGE_SCHEMA),
+                batch_id=0, collect_lineage=False)
+    apply_batch(src, spark.createDataFrame([_ev(2, "c", "c2", 0, "b", 2)], CHANGE_SCHEMA),
+                batch_id=1, collect_lineage=False)
+
+    def apply_fn(diff, to_snap):
+        apply_batch(mirror, feed_to_changes(diff, to_snap),
+                    batch_id=to_snap, collect_lineage=False)
+
+    assert follow(consumer, apply_fn, interval_sec=0.01, max_idle_polls=2) == 1
+    assert _state(mirror) == _state(src)
+    # service mode honors should_stop before doing any work
+    assert follow(consumer, apply_fn, should_stop=lambda: True) == 0
