@@ -95,6 +95,13 @@ def main(argv: list[str] | None = None) -> int:
     p_comp.add_argument("--table", required=True)
     p_comp.add_argument("--keep-snapshots", type=int, default=3)
 
+    p_check = sub.add_parser(
+        "check", help="table integrity check (lake fsck); exit 1 on damage"
+    )
+    p_check.add_argument("--table", required=True)
+    p_check.add_argument("--deep", action="store_true",
+                         help="also verify per-key uniqueness with a Spark job")
+
     args = ap.parse_args(argv)
 
     from spark_cdc.cdc.envelope import KEY_COLUMNS, PAYLOAD_SCHEMA
@@ -102,6 +109,13 @@ def main(argv: list[str] | None = None) -> int:
     from spark_cdc.session import get_spark
 
     spark = get_spark(app_name=f"spark_cdc_{args.cmd}")
+
+    if args.cmd == "check":
+        from spark_cdc.lake.fsck import fsck
+
+        report = fsck(LakeTable.load(spark, args.table), deep=args.deep)
+        print(json.dumps(report))
+        return 0 if report["ok"] else 1
 
     if args.cmd == "compact":
         from spark_cdc.lake.maintenance import compact, expire_snapshots
