@@ -1187,6 +1187,30 @@ def ivm_feed_rollup(spark, sf_dir):
 
 
 @query(
+    "train_val_split",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def train_val_split(spark, sf_dir):
+    """Deterministic 80/10/10 corpus split: assignment is a pure
+    function of md5(doc_id), so it is stable when the corpus grows (no
+    train/val leakage across pipeline runs) and reproducible by any
+    engine — which is exactly what the DuckDB oracle checks, row for
+    row. randomSplit could satisfy neither property."""
+    from spark_cdc.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+@query(
     "rollup_incremental_state",
     """
     SELECT user_id,

@@ -343,3 +343,27 @@ def test_ann_ivf_partitioned_layout_prunes_and_matches(spark, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "list_id" in m.group(1), plan
+
+
+def test_hash_split_deterministic_and_accurate(spark):
+    from pyspark.sql import functions as F
+
+    from spark_cdc.operators.sampling import hash_split, split_thresholds
+
+    assert split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1}) == [
+        ("train", "cccc"), ("val", "e666"), ("test", None),
+    ]
+    ids = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    split = hash_split(ids, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20_000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20_000 - 0.1) < 0.01
+    # growth stability: assignments of the first 5k keys are unchanged
+    # when the corpus is 4x larger (pure function of the key)
+    small = hash_split(spark.range(5_000).withColumnRenamed("id", "doc_id"),
+                       "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    joined = small.alias("s").join(split.alias("b"), "doc_id").where(
+        F.col("s.split") != F.col("b.split")).count()
+    assert joined == 0
