@@ -113,7 +113,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "check":
         from spark_cdc.lake.fsck import fsck
 
-        report = fsck(LakeTable.load(spark, args.table), deep=args.deep)
+        # LakeTable.load itself reads VERSION + head manifest; on a
+        # damaged table that raises before fsck's own report path could
+        # run. `check` exists to DIAGNOSE damage — it must emit the
+        # report and exit 1, never die with the same traceback.
+        try:
+            table = LakeTable.load(spark, args.table)
+        except (OSError, ValueError, KeyError) as e:
+            print(json.dumps({
+                "ok": False,
+                "errors": [f"table metadata unloadable: {type(e).__name__}: {e}"],
+                "warnings": [],
+            }))
+            return 1
+        report = fsck(table, deep=args.deep)
         print(json.dumps(report))
         return 0 if report["ok"] else 1
 
@@ -144,6 +157,16 @@ def main(argv: list[str] | None = None) -> int:
             apply_batch(mirror, feed_to_changes(diff, to_snap),
                         batch_id=to_snap, collect_lineage=False)
 
+        def recover(c):
+            # snapshot retention overtook the cursor (FeedExpiredError):
+            # the mirror's apply is a latest-version-wins MERGE, so
+            # re-applying the source's full state as inserts is
+            # idempotent — the documented bootstrap recovery. Commit the
+            # observed head afterwards and resume polling.
+            diff, to_snap = c.bootstrap()
+            apply_diff(diff, to_snap)
+            c.commit(to_snap)
+
         if args.follow:
             import signal
             import threading
@@ -161,11 +184,13 @@ def main(argv: list[str] | None = None) -> int:
                 consumer, apply_diff,
                 interval_sec=args.interval,
                 should_stop=lambda: bool(stop_requested),
+                on_expired=recover,
             )
         else:
             from spark_cdc.lake.feed import follow
 
-            polls = follow(consumer, apply_diff, interval_sec=0.0, max_idle_polls=1)
+            polls = follow(consumer, apply_diff, interval_sec=0.0,
+                           max_idle_polls=1, on_expired=recover)
         print(json.dumps({
             "polls": polls,
             "cursor": consumer.position(),

@@ -129,6 +129,7 @@ def follow(
     interval_sec: float = 5.0,
     should_stop=None,
     max_idle_polls: int | None = None,
+    on_expired=None,
 ) -> int:
     """Service loop over the feed: poll → ``apply_fn(diff, to_snap)`` →
     commit, sleeping ``interval_sec`` between caught-up polls — the
@@ -140,6 +141,14 @@ def follow(
     — the same graceful-shutdown discipline as ``stream --continuous``.
     ``max_idle_polls`` ends it after that many consecutive caught-up
     polls (catch-up mode / tests). Returns the number of applied polls.
+
+    ``on_expired(consumer)`` is the :class:`FeedExpiredError` recovery
+    hook for service mode — without it a long-running follower dies
+    with a traceback the moment snapshot retention overtakes its
+    cursor. The hook must restore a consistent downstream state AND
+    commit the cursor (merge-idempotent mirrors: apply
+    :meth:`ChangeFeedConsumer.bootstrap` + commit); the loop then
+    resumes normal polling.
     """
     import time
 
@@ -148,7 +157,15 @@ def follow(
     while True:
         if should_stop is not None and should_stop():
             break
-        got = consumer.poll()
+        try:
+            got = consumer.poll()
+        except FeedExpiredError:
+            if on_expired is None:
+                raise
+            on_expired(consumer)
+            polls += 1
+            idle = 0
+            continue
         if got is None:
             idle += 1
             if max_idle_polls is not None and idle >= max_idle_polls:

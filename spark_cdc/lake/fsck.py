@@ -44,18 +44,33 @@ def fsck(table: LakeTable, deep: bool = False) -> dict[str, Any]:
             head = int(f.read().strip())
     except (OSError, ValueError) as e:
         return {"ok": False, "errors": [f"VERSION unreadable: {e}"], "warnings": []}
+    # Corrupt manifests raise ValueError subclasses (json.JSONDecodeError,
+    # truncated int fields), not just OSError — catch both, and never
+    # re-read the head outside this guard: if the head manifest itself is
+    # damaged, fsck must REPORT that, not crash with the same traceback
+    # the user ran fsck to diagnose.
     chain = 0
+    manifest: dict | None = None
     sid: int | None = head
     while sid is not None:
         try:
             m = table._read_manifest(sid)
-        except OSError as e:
+        except (OSError, ValueError) as e:
             errors.append(f"manifest snap-{sid} unreadable: {e}")
             break
+        if sid == head:
+            manifest = m
         chain += 1
         sid = m["parent_id"]
 
-    manifest = table._read_manifest(head)
+    if manifest is None:
+        return {
+            "ok": False,
+            "snapshot_id": head,
+            "chain_length": 0,
+            "errors": errors or [f"head manifest snap-{head} unreadable"],
+            "warnings": warnings,
+        }
 
     # schema + keys
     try:

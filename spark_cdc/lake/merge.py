@@ -516,8 +516,23 @@ def merge_changes(
             winners.unpersist()
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for SQL embedding, escaping any
+    embedded backticks (``a`b`` → ```a``b```) so a hostile or merely
+    unlucky column name can't break out of the quoted context."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
+def _sq(val: str) -> str:
+    """Single-quote a string literal for Spark SQL, escaping backslash
+    and quote characters."""
+    return "'" + str(val).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 # SQL-text template per (table schema × batch columns × merge kwargs):
-# built once, reused every batch with only the generation substituted.
+# built once, reused every batch with only the generation substituted
+# via a token replace (NOT str.format — user identifiers may contain
+# '{'/'}' which would corrupt or KeyError a format call).
 _BULK_DELTA_SQL_CACHE: dict[tuple, tuple[str, str]] = {}
 
 
@@ -559,36 +574,36 @@ def build_mor_bulk_delta_sql(
             # doesn't cast payload); typed NULL when the batch predates
             # a schema evolution
             return (
-                f"`{f.name}`" if f.name in cols
+                _bq(f.name) if f.name in cols
                 else f"CAST(NULL AS {f.dataType.simpleString()})"
             )
 
         nonkey = [f for f in fields if f.name not in keys]
-        nv = ", ".join(f"'{f.name}', {src(f)}" for f in nonkey)
-        ts_c = f"CAST(`{ts_col}` AS TIMESTAMP)"
-        seq_c = f"coalesce(CAST(`{seq_col}` AS BIGINT), CAST(-1 AS BIGINT))"
+        nv = ", ".join(f"{_sq(f.name)}, {src(f)}" for f in nonkey)
+        ts_c = f"CAST({_bq(ts_col)} AS TIMESTAMP)"
+        seq_c = f"coalesce(CAST({_bq(seq_col)} AS BIGINT), CAST(-1 AS BIGINT))"
         lsn_c = (
-            f"CAST(`{lsn_col}` AS BIGINT)" if lsn_col in cols
+            f"CAST({_bq(lsn_col)} AS BIGINT)" if lsn_col in cols
             else "CAST(0 AS BIGINT)"
         )
-        key_list = ", ".join(f"`{k}`" for k in keys)
-        payload_sel = ", ".join(f"w.`{f.name}` AS `{f.name}`" for f in nonkey)
+        key_list = ", ".join(_bq(k) for k in keys)
+        payload_sel = ", ".join(f"w.{_bq(f.name)} AS {_bq(f.name)}" for f in nonkey)
         sql = f"""
         WITH __b AS (
           SELECT /*+ REPARTITION({nb}, __bucket) */ * FROM (
-            SELECT CAST(pmod(xxhash64(`{table.bucket_column}`), {nb}) AS INT)
+            SELECT CAST(pmod(xxhash64({_bq(table.bucket_column)}), {nb}) AS INT)
                      AS __bucket, * FROM {view}
           )
         )
         SELECT __bucket AS `{BUCKET_COL}`, {key_list}, {payload_sel},
                w.`{V_TS}` AS `{V_TS}`, w.`{V_SEQ}` AS `{V_SEQ}`,
-               (w.`__op` = '{delete_op}') AS `{V_DEL}`,
-               CAST({{gen}} AS BIGINT) AS `{V_GEN}`
+               (w.`__op` = {_sq(delete_op)}) AS `{V_DEL}`,
+               CAST(__GEN__ AS BIGINT) AS `{V_GEN}`
         FROM (
           SELECT __bucket, {key_list},
                  max_by(
                    named_struct({nv}{"," if nv else ""}
-                                '__op', `{op_col}`,
+                                '__op', {_bq(op_col)},
                                 '{V_TS}', {ts_c}, '{V_SEQ}', {seq_c}),
                    struct(coalesce({ts_c}, TIMESTAMP '1900-01-01'),
                           {seq_c}, {lsn_c})
@@ -600,7 +615,7 @@ def build_mor_bulk_delta_sql(
         _BULK_DELTA_SQL_CACHE[cache_key] = cached
     view, sql = cached
     changes.createOrReplaceTempView(view)
-    return changes.sparkSession.sql(sql.format(gen=gen))
+    return changes.sparkSession.sql(sql.replace("__GEN__", str(int(gen))))
 
 
 _COW_RESOLVE_SQL_CACHE: dict[tuple, tuple[str, str, str]] = {}
@@ -642,26 +657,26 @@ def build_cow_bulk_resolved_sql(
 
         def src(f):
             return (
-                f"`{f.name}`" if f.name in cols
+                _bq(f.name) if f.name in cols
                 else f"CAST(NULL AS {f.dataType.simpleString()})"
             )
 
-        user_list = ", ".join(f"`{f.name}`" for f in fields)
-        src_list = ", ".join(f"{src(f)} AS `{f.name}`" for f in fields)
+        user_list = ", ".join(_bq(f.name) for f in fields)
+        src_list = ", ".join(f"{src(f)} AS {_bq(f.name)}" for f in fields)
         nonkey = [f for f in fields if f.name not in keys]
-        nv = ", ".join(f"'{f.name}', `{f.name}`" for f in nonkey)
-        key_list = ", ".join(f"`{k}`" for k in keys)
-        payload_sel = ", ".join(f"w.`{f.name}` AS `{f.name}`" for f in nonkey)
-        ts_c = f"CAST(`{ts_col}` AS TIMESTAMP)"
-        seq_c = f"coalesce(CAST(`{seq_col}` AS BIGINT), CAST(-1 AS BIGINT))"
+        nv = ", ".join(f"{_sq(f.name)}, {_bq(f.name)}" for f in nonkey)
+        key_list = ", ".join(_bq(k) for k in keys)
+        payload_sel = ", ".join(f"w.{_bq(f.name)} AS {_bq(f.name)}" for f in nonkey)
+        ts_c = f"CAST({_bq(ts_col)} AS TIMESTAMP)"
+        seq_c = f"coalesce(CAST({_bq(seq_col)} AS BIGINT), CAST(-1 AS BIGINT))"
         lsn_c = (
-            f"CAST(`{lsn_col}` AS BIGINT)" if lsn_col in cols
+            f"CAST({_bq(lsn_col)} AS BIGINT)" if lsn_col in cols
             else "CAST(-1 AS BIGINT)"
         )
         sql = f"""
         WITH __u AS (
           SELECT {user_list},
-                 CASE WHEN coalesce(`{V_DEL}`, false) THEN '{delete_op}'
+                 CASE WHEN coalesce(`{V_DEL}`, false) THEN {_sq(delete_op)}
                       ELSE 'keep' END AS __op,
                  `{V_TS}` AS __vts, `{V_SEQ}` AS __vseq,
                  0 AS __src,
@@ -670,18 +685,18 @@ def build_cow_bulk_resolved_sql(
           FROM {tgt_view}
           UNION ALL
           SELECT {src_list},
-                 `{op_col}` AS __op, {ts_c} AS __vts, {seq_c} AS __vseq,
+                 {_bq(op_col)} AS __op, {ts_c} AS __vts, {seq_c} AS __vseq,
                  1 AS __src, CAST(-1 AS BIGINT) AS __gen, {lsn_c} AS __lsn
           FROM {src_view}
         ), __b AS (
           SELECT /*+ REPARTITION({nb}, __bucket) */ * FROM (
-            SELECT CAST(pmod(xxhash64(`{table.bucket_column}`), {nb}) AS INT)
+            SELECT CAST(pmod(xxhash64({_bq(table.bucket_column)}), {nb}) AS INT)
                      AS __bucket, * FROM __u
           )
         )
         SELECT __bucket AS `{BUCKET_COL}`, {key_list}, {payload_sel},
                w.`__vts` AS `{V_TS}`, w.`__vseq` AS `{V_SEQ}`,
-               (w.`__op` = '{delete_op}') AS `{V_DEL}`
+               (w.`__op` = {_sq(delete_op)}) AS `{V_DEL}`
         FROM (
           SELECT __bucket, {key_list},
                  max_by(

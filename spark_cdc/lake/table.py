@@ -226,14 +226,19 @@ class LakeTable:
         ``resolve`` forces/suppresses this (default: auto from the
         manifest's ``delta_buckets``).
 
-        ``key_between=(lo, hi)`` additionally prunes FILES via the
-        manifest's per-file min/max statistics on the bucket column
-        (files are written sorted by key, so ranges are tight) — the
-        Iceberg data-file skipping analogue. Only a pre-filter: pair it
-        with a real ``.where`` on the key (see :meth:`lookup`). Files
-        from pre-stats manifests have no recorded range and are kept.
-        Correct under MoR because every version of a key lies in a
-        file whose range covers it.
+        ``key_between=(lo, hi)`` prunes FILES via the manifest's
+        per-file min/max statistics on the bucket column (files are
+        written sorted by key, so ranges are tight) — the Iceberg
+        data-file skipping analogue — AND applies the matching row
+        predicate on the bucket column before MoR resolution. The row
+        filter is load-bearing, not a convenience: a key outside the
+        range may have its newest version or delete tombstone only in
+        a pruned file, so an unfiltered read could resolve it to a
+        stale or resurrected row from a kept file. In-range keys are
+        safe by construction (every version of a key lies in a file
+        whose range covers it, so no file of an in-range key is
+        pruned). Files from pre-stats manifests have no recorded range
+        and are kept.
         """
         manifest = (
             self.manifest if snapshot_id is None else self._read_manifest(snapshot_id)
@@ -265,6 +270,13 @@ class LakeTable:
             df = self.spark.createDataFrame([], schema)
         else:
             df = self.spark.read.schema(schema).parquet(*files)
+        if key_between is not None and self.bucket_column:
+            # the row-level twin of the file pruning above — without it
+            # out-of-range keys could surface incorrectly resolved (see
+            # docstring); pushed down to the parquet scan by Catalyst.
+            lo, hi = key_between
+            kc = F.col(self.bucket_column)
+            df = df.where((kc >= F.lit(lo)) & (kc <= F.lit(hi)))
         need_resolve = bool(delta_buckets) if resolve is None else resolve
         if need_resolve and self.key_columns and files:
             df = _resolve_latest(df, list(manifest["key_columns"]))

@@ -21,30 +21,73 @@ from pyspark.sql import types as T
 from spark_cdc.functions.text import fingerprint, normalize_text_expr
 
 
-def _ensure_parallel(df: DataFrame) -> DataFrame:
+def _ensure_parallel(df: DataFrame, already_parallel: bool = False) -> DataFrame:
     """Small single-file inputs arrive as one partition and would run
     per-doc compute single-threaded; spread them across the cluster.
-    (At real scale inputs are already many-partitioned — no-op.)"""
+    (At real scale inputs are already many-partitioned — pass
+    ``already_parallel=True`` or rely on the file-count probe's no-op.)
+
+    Deliberately avoids ``df.rdd.getNumPartitions()``: touching ``.rdd``
+    forces a full plan→RDD conversion per call just to read a count.
+    ``inputFiles()`` is driver-side file-source metadata — for the
+    at-scale case (many files) it is a cheap no-op decision."""
+    if already_parallel:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
-        return df.repartition(target)
-    return df
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        nfiles = 0
+    if nfiles >= max(target // 2, 2):
+        return df
+    return df.repartition(target)
 
 
 # --------------------------------------------------------------- exact
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact (normalized) duplicate groups: md5-fingerprint hash-groupBy.
-    Returns one row per duplicate group with member ids and count."""
-    return (
-        df.withColumn("fp", fingerprint(F.col(text_col)))
-        .groupBy("fp")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
-            F.min(id_col).alias("keep_id"),
+def exact_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    member_arrays: bool = False,
+) -> DataFrame:
+    """Exact (normalized) duplicate membership: md5-fingerprint groupBy.
+
+    Returns membership as ROWS — ``(doc_id, fp, keep_id, n_docs)``, one
+    per member of a duplicate group — not as a per-group id array. The
+    row form is the only one that survives corpus scale: a boilerplate
+    or template fingerprint can have 10^6–10^8 members, and a
+    ``collect_list`` group array materializes them as one multi-GB row
+    in a single aggregation task (arrays can't spill). Rows carry the
+    same information (``keep_id`` marks the canonical survivor, same
+    convention as :func:`duplicate_components`), are fully spillable
+    (map-side-combinable count/min agg + an equi-join back on the
+    fingerprint that AQE can skew-split), and feed an anti-join drop of
+    non-keepers directly. The reference's ReplacingMergeTree analogue
+    (/root/reference/etl/clickhouse_schema/init.sql:14) never
+    materializes group membership either.
+
+    ``member_arrays=True`` restores the one-row-per-group
+    ``(fp, n_docs, doc_ids, keep_id)`` shape for SMALL corpora only
+    (exploratory notebooks) — explicitly unsafe at scale.
+    """
+    if member_arrays:
+        return (
+            df.withColumn("fp", fingerprint(F.col(text_col)))
+            .groupBy("fp")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+                F.min(id_col).alias("keep_id"),
+            )
+            .where(F.col("n_docs") > 1)
         )
+    fp_df = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    groups = (
+        fp_df.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
         .where(F.col("n_docs") > 1)
     )
+    return fp_df.join(groups, "fp").select(id_col, "fp", "keep_id", "n_docs")
 
 
 # ----------------------------------------------------------- shingles

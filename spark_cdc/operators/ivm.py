@@ -99,25 +99,62 @@ class MaintainedView:
     drain (the feed diff is cumulative since the cursor).
     """
 
-    def __init__(self, rollup, consumer):
+    def __init__(self, rollup, consumer, auto_rebuild: bool = False):
         self.rollup = rollup
         self.consumer = consumer
+        self.auto_rebuild = auto_rebuild
 
     def on_batch(self, batch_id: int | None = None, res=None) -> None:
-        maintain_from_feed(self.rollup, self.consumer)
+        maintain_from_feed(self.rollup, self.consumer,
+                           auto_rebuild=self.auto_rebuild)
 
 
-def maintain_from_feed(rollup, consumer) -> int:
+def rebuild_view(rollup, consumer) -> int:
+    """Self-heal a retraction-maintained view whose feed cursor was
+    overtaken by snapshot retention (:class:`FeedExpiredError`):
+    recompute the aggregate from the source's CURRENT state (every live
+    row as a +1 signed contribution), overwrite the rollup in one
+    commit, and advance the cursor to the head snapshot observed before
+    the read — the retraction-consumer analogue of a Kafka consumer
+    resetting to latest + re-materializing after falling off retention.
+    Exactly-once: the rollup's batch-id guard keys on the observed head
+    and the cursor commits only after the rebuild commit, so a crash at
+    any point redelivers a no-op. Returns the new cursor position."""
+    consumer.table.refresh()
+    to_snap = consumer.table.snapshot_id
+    src = consumer.table.read().withColumn(SIGN_COL, F.lit(1))
+    rollup.rebuild(src, batch_id=to_snap)
+    consumer.commit(to_snap)
+    return to_snap
+
+
+def maintain_from_feed(rollup, consumer, auto_rebuild: bool = False) -> int:
     """Drain a :class:`spark_cdc.lake.feed.ChangeFeedConsumer` into an
     :class:`~spark_cdc.operators.rollup.IncrementalRollup` whose
     measures are written over signed rows. Returns the number of polls
     applied. Exactly-once: the rollup's batch-id guard keys on the
     feed's ``to_snapshot``, and the cursor only advances after the
-    rollup commit."""
+    rollup commit.
+
+    ``auto_rebuild=True`` turns :class:`FeedExpiredError` (snapshot
+    retention overtook the cursor) into a :func:`rebuild_view`
+    self-heal instead of an exception; leave False when expiry should
+    page an operator rather than silently trigger a full recompute."""
+    from spark_cdc.lake.feed import FeedExpiredError
+
     polls = 0
-    while (got := consumer.poll(include_preimage=True)) is not None:
+    while True:
+        try:
+            got = consumer.poll(include_preimage=True)
+        except FeedExpiredError:
+            if not auto_rebuild:
+                raise
+            rebuild_view(rollup, consumer)
+            polls += 1
+            continue
+        if got is None:
+            return polls
         diff, to_snap = got
         rollup.apply_batch(signed_rows(diff), batch_id=to_snap)
         consumer.commit(to_snap)
         polls += 1
-    return polls

@@ -116,5 +116,61 @@ class IncrementalRollup:
         finally:
             deltas.unpersist()
 
+    def rebuild(self, source: DataFrame, batch_id: int | None = None) -> int:
+        """From-scratch recompute over ``source``, replacing the ENTIRE
+        rollup content in one commit — the recovery path when the
+        incremental base is gone (``FeedExpiredError``: snapshot
+        retention overtook the view's feed cursor, so the diff the view
+        needs no longer exists and replaying full state as increments
+        would double-count).
+
+        Exactly-once under the same batch-id guard as
+        :meth:`apply_batch`: a crash between the rebuild commit and the
+        caller's cursor commit redelivers the rebuild, which the guard
+        skips (the table already holds the recomputed state)."""
+        last = self.table.properties.get("last_batch_id", {}).get("rollup")
+        if batch_id is not None and last is not None and batch_id <= last:
+            return self.table.snapshot_id  # redelivered rebuild: no-op
+        decl = {f.name: f.dataType for f in self.table.user_schema.fields}
+        full = (
+            source.groupBy(*self.group_cols)
+            .agg(*[
+                (m.cast(decl[name]) if name in decl else m).alias(name)
+                for name, m in self.measures.items()
+            ])
+        )
+        if self.count_col:
+            full = full.where(F.col(self.count_col) != 0)
+        full = full.withColumn(
+            BUCKET_COL, bucket_expr(self.table.bucket_column, self.table.num_buckets)
+        ).persist()
+        try:
+            new_buckets = {r[0] for r in full.select(BUCKET_COL).distinct().collect()}
+            touched = sorted(
+                {int(b) for b in self.table.manifest["files"]} | new_buckets
+            )
+            if not touched:
+                return self.table.snapshot_id
+            out = full.repartition(max(len(touched) // 4, 1), F.col(BUCKET_COL))
+            for hidden in (V_TS, V_SEQ):
+                if hidden in {f.name for f in self.table.schema.fields}:
+                    out = out.withColumn(
+                        hidden,
+                        F.lit(None).cast("timestamp" if hidden == V_TS else "long"),
+                    )
+            props = dict(self.table.properties)
+            if batch_id is not None:
+                lb = dict(props.get("last_batch_id", {}))
+                lb["rollup"] = batch_id
+                props["last_batch_id"] = lb
+            return self.table.overwrite_buckets(
+                out,
+                touched,
+                properties=props,
+                summary={"operation": "rollup_rebuild", "batch_id": batch_id},
+            )
+        finally:
+            full.unpersist()
+
     def read(self) -> DataFrame:
         return self.table.read()

@@ -46,22 +46,32 @@ def split_thresholds(fractions: dict[str, float], precision: int = HEX_PRECISION
 
 
 def hash_split_col(key_col: str | Column, fractions: dict[str, float],
-                   precision: int = HEX_PRECISION) -> Column:
+                   precision: int = HEX_PRECISION,
+                   null_split: str | None = None) -> Column:
     """Column expression assigning each row a split name from the md5
-    of its key — usable inside any select/filter."""
+    of its key — usable inside any select/filter.
+
+    A NULL key gets ``null_split`` (default: a NULL split name) rather
+    than silently falling through to the last-listed split: md5(NULL)
+    is NULL, so every WHEN condition is NULL and without the explicit
+    guard null-key rows would leak deterministically into the final
+    split (e.g. the eval set). Making them visible lets the pipeline
+    quarantine or assert on them."""
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     h = F.substring(F.md5(key.cast("string")), 1, precision)
-    expr = None
+    expr = F.when(key.isNull(), F.lit(null_split))
     for name, bound in split_thresholds(fractions, precision):
         if bound is None:
-            expr = expr.otherwise(F.lit(name)) if expr is not None else F.lit(name)
+            expr = expr.otherwise(F.lit(name))
         else:
-            cond = h < F.lit(bound)
-            expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+            expr = expr.when(h < F.lit(bound), F.lit(name))
     return expr
 
 
 def hash_split(df: DataFrame, key_col: str, fractions: dict[str, float],
-               split_col: str = "split", precision: int = HEX_PRECISION) -> DataFrame:
+               split_col: str = "split", precision: int = HEX_PRECISION,
+               null_split: str | None = None) -> DataFrame:
     """Append a deterministic split-assignment column."""
-    return df.withColumn(split_col, hash_split_col(key_col, fractions, precision))
+    return df.withColumn(
+        split_col, hash_split_col(key_col, fractions, precision, null_split)
+    )

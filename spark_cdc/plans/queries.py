@@ -1352,16 +1352,22 @@ def text_fp(spark, sf_dir):
 @query(
     "dedup_exact_groups",
     """
-    SELECT fp, n_docs, keep_id FROM (
-      SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
-             count(*) AS n_docs, min(doc_id) AS keep_id
-      FROM documents GROUP BY 1)
+    SELECT doc_id, fp, keep_id, n_docs FROM (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             min(doc_id) OVER (PARTITION BY
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep_id,
+             count(*) OVER (PARTITION BY
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_docs
+      FROM documents)
     WHERE n_docs > 1
     """,
 )
 def dedup_exact(spark, sf_dir):
+    """Membership-row form — spillable at any duplicate-group size
+    (no per-group collect_list array; see exact_duplicates)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup_ops.exact_duplicates(d).select("fp", "n_docs", "keep_id")
+    return dedup_ops.exact_duplicates(d)
 
 
 # Exact all-pairs word-3-gram Jaccard ≥ 0.5 over documents — the
@@ -1578,6 +1584,47 @@ def multimodal_features(spark, sf_dir):
     media = multimodal.generate_media_fixture(spark, n=200)
     return multimodal.extract_features(media).select(
         "media_id", "kind", "n_bytes", "content_digest"
+    )
+
+
+@query(
+    "multimodal_decode",
+    """
+    SELECT t.range AS media_id,
+           CASE WHEN t.range % 3 = 1 THEN 'audio' ELSE 'image' END AS kind,
+           CASE CAST(t.range % 3 AS INTEGER)
+                WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' ELSE 'pgm' END AS format,
+           CAST(CASE WHEN t.range % 3 <> 1 THEN 4 + t.range % 13 ELSE -1 END
+                AS INTEGER) AS width,
+           CAST(CASE WHEN t.range % 3 <> 1 THEN 3 + t.range % 7 ELSE -1 END
+                AS INTEGER) AS height,
+           CAST(CASE WHEN t.range % 3 = 0 THEN 3 ELSE 1 END AS INTEGER) AS channels,
+           CAST(CASE WHEN t.range % 3 = 1 THEN 8000 ELSE -1 END AS INTEGER)
+             AS sample_rate,
+           CAST(CASE WHEN t.range % 3 = 1 THEN 50 * (1 + t.range % 5) ELSE -1 END
+                AS INTEGER) AS duration_ms,
+           round(CAST(CASE WHEN t.range % 3 = 1 THEN t.range % 10000
+                           ELSE t.range % 251 END AS DOUBLE), 6) AS mean_value
+    FROM range(200) t
+    """,
+)
+def multimodal_decode(spark, sf_dir):
+    """REAL decode (pure-numpy PPM/PGM/WAV codecs, no stub) under a
+    predictive oracle: the fixture's geometry/content are closed-form
+    in the id, so DuckDB asserts what decoding must recover — width,
+    height, channels, sample rate, duration, exact mean/RMS — without
+    decoding anything itself. Engine side actually parses the bytes
+    (spark_cdc/operators/multimodal.py: _parse_pnm/_parse_wav)."""
+    media = multimodal.generate_decodable_media_fixture(spark, n=200)
+    neg1 = F.lit(-1).cast("int")  # NULL→-1: hash compare needs sortable rows
+    return multimodal.decode_media(media).select(
+        "media_id", "kind", "format",
+        F.coalesce("width", neg1).alias("width"),
+        F.coalesce("height", neg1).alias("height"),
+        F.coalesce("channels", neg1).alias("channels"),
+        F.coalesce("sample_rate", neg1).alias("sample_rate"),
+        F.coalesce("duration_ms", neg1).alias("duration_ms"),
+        F.round("mean_value", 6).alias("mean_value"),
     )
 
 

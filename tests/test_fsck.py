@@ -55,3 +55,35 @@ def test_fsck_cli(spark, tmp_path):
     rel = next(iter(t.manifest["files"].values()))[0]
     os.remove(os.path.join(t.path, rel))
     assert main(["check", "--table", str(tmp_path / "t")]) == 1
+
+
+def test_fsck_corrupt_head_manifest_reports_not_crashes(spark, tmp_path, capsys):
+    """The exact damage fsck exists for must yield a report + exit 1,
+    never a traceback: truncated/invalid-JSON head manifest (raises
+    ValueError, not OSError) both via fsck() on a loaded table and via
+    the `check` CLI, whose LakeTable.load happens before fsck runs."""
+    from spark_cdc.lake.table import META_DIR
+    from spark_cdc.__main__ import main
+
+    t = _mk(spark, str(tmp_path / "t"))
+    mpath = os.path.join(t.path, META_DIR, f"snap-{t.snapshot_id}.json")
+    with open(mpath, "w") as f:
+        f.write('{"truncated": ')  # invalid JSON
+    rep = fsck(t)  # table object loaded before the damage
+    assert not rep["ok"]
+    assert any("unreadable" in e for e in rep["errors"])
+    # CLI path: load itself fails on the corrupt manifest → report + 1
+    assert main(["check", "--table", str(tmp_path / "t")]) == 1
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out)["ok"] is False
+
+
+def test_fsck_missing_version_file_cli(spark, tmp_path, capsys):
+    from spark_cdc.lake.table import META_DIR, VERSION_FILE
+    from spark_cdc.__main__ import main
+
+    _mk(spark, str(tmp_path / "t"))
+    os.remove(os.path.join(str(tmp_path / "t"), META_DIR, VERSION_FILE))
+    assert main(["check", "--table", str(tmp_path / "t")]) == 1
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out)["ok"] is False

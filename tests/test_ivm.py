@@ -193,3 +193,101 @@ def _state(table):
     return sorted(
         (r["conv_id"], r["turn_idx"], r["text"]) for r in table.read().collect()
     )
+
+
+def test_ivm_auto_rebuild_after_feed_expiry(spark, tmp_path):
+    """A retraction-maintained view whose cursor is overtaken by
+    snapshot retention self-heals with auto_rebuild=True: the rollup is
+    recomputed from the source's current state, the cursor advances,
+    and subsequent incremental maintenance works normally — all
+    idempotent under redelivery (batch-id guard)."""
+    import pytest
+
+    from spark_cdc.lake.feed import FeedExpiredError
+    from spark_cdc.lake.maintenance import expire_snapshots
+    from spark_cdc.operators.ivm import rebuild_view
+
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), PAYLOAD_SCHEMA,
+        key_columns=["conv_id", "turn_idx"], num_buckets=4,
+    )
+    rt = LakeTable.create(
+        spark, str(tmp_path / "rollup"), ROLLUP_SCHEMA,
+        key_columns=["role"], num_buckets=4,
+    )
+    rollup = IncrementalRollup(
+        rt, ["role"],
+        {"turns": signed_count(), "chars": signed_sum(F.length("text"))},
+        count_col="turns",
+    )
+    consumer = ChangeFeedConsumer(src, str(tmp_path / "cursor"))
+    apply_batch(src, spark.createDataFrame(
+        [_ev(1, "c", "c1", 0, "user", "aa", 1),
+         _ev(2, "c", "c2", 0, "tool", "b", 1)], CHANGE_SCHEMA),
+        batch_id=0, collect_lineage=False)
+    assert maintain_from_feed(rollup, consumer) == 1
+
+    # view stalls; source advances past retention (update + delete so a
+    # naive insert-replay would double-count — rebuild must not)
+    for i, rows in enumerate([
+        [_ev(3, "u", "c1", 0, "assistant", "aa2", 2)],
+        [_ev(4, "d", "c2", 0, None, None, 2)],
+        [_ev(5, "c", "c3", 0, "user", "ccc", 3)],
+        [_ev(6, "c", "c4", 0, "user", "dddd", 3)],
+    ], start=1):
+        apply_batch(src, spark.createDataFrame(rows, CHANGE_SCHEMA),
+                    batch_id=i, collect_lineage=False)
+    expire_snapshots(src, keep_last=2)
+    with pytest.raises(FeedExpiredError):
+        maintain_from_feed(rollup, consumer)  # default: propagate
+
+    assert maintain_from_feed(rollup, consumer, auto_rebuild=True) == 1
+    assert _maintained(rt) == _scratch(src)
+    assert "tool" not in {r[0] for r in _maintained(rt)}
+
+    # redelivered rebuild (crash between rollup commit and cursor
+    # commit) is a no-op: same head snapshot, guard skips
+    snap_before = rt.snapshot_id
+    rebuild_view(rollup, consumer)
+    assert rt.snapshot_id == snap_before
+    assert _maintained(rt) == _scratch(src)
+
+    # incremental maintenance resumes normally after the heal
+    apply_batch(src, spark.createDataFrame(
+        [_ev(7, "u", "c3", 0, "user", "c-longer", 4)], CHANGE_SCHEMA),
+        batch_id=5, collect_lineage=False)
+    assert maintain_from_feed(rollup, consumer) == 1
+    assert _maintained(rt) == _scratch(src)
+
+
+def test_feed_mirror_cli_auto_recovers_from_expiry(spark, tmp_path, capsys):
+    """`feed-mirror` must survive cursor expiry instead of dying with a
+    traceback: the follow loop's on_expired hook bootstraps the mirror
+    (merge-idempotent full-state apply) and resumes."""
+    import json as _json
+
+    from spark_cdc.__main__ import main
+    from spark_cdc.lake.maintenance import expire_snapshots
+
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), PAYLOAD_SCHEMA,
+        key_columns=["conv_id", "turn_idx"], num_buckets=4,
+    )
+    apply_batch(src, spark.createDataFrame(
+        [_ev(1, "c", "c1", 0, "user", "a", 1)], CHANGE_SCHEMA),
+        batch_id=0, collect_lineage=False)
+    args = ["feed-mirror", "--source-table", str(tmp_path / "src"),
+            "--mirror", str(tmp_path / "mirror"),
+            "--cursor", str(tmp_path / "cursor"), "--num-buckets", "4"]
+    assert main(args) == 0
+    # source advances 4 commits; retention expires the mirror's base
+    for i in range(1, 5):
+        apply_batch(src, spark.createDataFrame(
+            [_ev(i + 1, "c", f"c{i+1}", 0, "user", f"t{i}", i + 1)], CHANGE_SCHEMA),
+            batch_id=i, collect_lineage=False)
+    expire_snapshots(src, keep_last=2)
+    assert main(args) == 0  # recovers via bootstrap, no traceback
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 5 and out["cursor"] == src.snapshot_id
+    mirror = LakeTable.load(spark, str(tmp_path / "mirror"))
+    assert _state(mirror) == _state(src)

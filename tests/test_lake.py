@@ -173,8 +173,16 @@ def test_file_stats_pruning_and_lookup(spark, tmp_table_path):
         ("c000", "c000"), ("c000", "c099"), ("c100", "c199"),
     ]
     # range read prunes to the covering generation only
-    assert t.read(key_between=("c150", "c150")).count() == 100
+    pruned = t.read(key_between=("c150", "c150"))
+    # file skipping prunes to the covering generation only...
+    assert len(pruned.inputFiles()) == 1
+    # ...and the built-in row predicate keeps out-of-range keys from
+    # surfacing (possibly stale-resolved) rows
+    assert [(r["conv_id"], r["text"]) for r in pruned.collect()] == [("c150", "v1")]
     assert t.read().count() == 200
+    # an out-of-range key whose newest version lives in a pruned file
+    # must not resurface its older version from a kept file
+    assert t.read(key_between=("c001", "c099")).where("conv_id = 'c000'").count() == 0
     # point lookup: both covering generations kept, latest version wins
     got = t.lookup("c000").collect()
     assert [(r["conv_id"], r["text"]) for r in got] == [("c000", "v2")]

@@ -24,8 +24,37 @@ def docs(spark):
 
 
 def test_exact_duplicates(spark, docs):
-    groups = dedup_ops.exact_duplicates(docs).collect()
+    # row form: one membership row per duplicate-group member
+    rows = dedup_ops.exact_duplicates(docs).collect()
+    planted = {r["doc_id"]: r for r in rows if r["keep_id"] == 0}
+    assert set(planted) == {0, 600}
+    assert all(r["n_docs"] == 2 for r in planted.values())
+    # array form still available behind the small-corpus flag
+    groups = dedup_ops.exact_duplicates(docs, member_arrays=True).collect()
     assert any(set(g["doc_ids"]) == {0, 600} for g in groups)
+
+
+def test_exact_duplicates_huge_group_is_spillable(spark):
+    """A planted 10^5-member duplicate group must complete and must NOT
+    plan a per-group collect_list array (the construct that OOMs a
+    single aggregation task at corpus scale)."""
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n - 10, F.lit("the same boilerplate text"))
+        .otherwise(F.concat(F.lit("unique "), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    out = dedup_ops.exact_duplicates(df)
+    assert "collect_list" not in out._jdf.queryExecution().executedPlan().toString()
+    agg = out.agg(
+        F.count(F.lit(1)).alias("members"),
+        F.countDistinct("fp").alias("groups"),
+        F.min("keep_id").alias("keep"),
+    ).collect()[0]
+    assert agg["members"] == n - 10
+    assert agg["groups"] == 1
+    assert agg["keep"] == 0
 
 
 def test_minhash_lsh_finds_near_dup(spark, docs):
@@ -276,8 +305,74 @@ def test_multimodal_plumbing(spark):
     # deterministic across runs
     again = {r["media_id"]: r["sha256"] for r in multimodal.extract_features(media).collect()}
     assert all(again[r["media_id"]] == r["sha256"] for r in rows)
-    with pytest.raises(Exception, match="NotImplementedError|real media"):
-        multimodal.extract_features(media, decode_fn="real").collect()
+    # 'real' mode no longer raises: undecodable digest-noise blobs get
+    # features=None instead of failing the stage
+    real = multimodal.extract_features(media, decode_fn="real").collect()
+    assert len(real) == 60 and all(r["features"] is None for r in real)
+
+
+def test_multimodal_real_decode(spark):
+    """Pure-numpy codecs recover the generation parameters exactly from
+    the actual bytes: PNM geometry + mean pixel, WAV rate/duration/RMS,
+    and content-derived feature vectors."""
+    media = multimodal.generate_decodable_media_fixture(spark, n=90)
+    rows = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+    assert len(rows) == 90
+    for mid, r in rows.items():
+        assert r["decode_error"] is None, (mid, r["decode_error"])
+        m = mid % 3
+        if m == 1:
+            amp = mid % 10000
+            assert r["format"] == "wav" and r["sample_rate"] == 8000
+            assert r["n_samples"] == 400 * (1 + mid % 5)
+            assert r["duration_ms"] == 50 * (1 + mid % 5)
+            assert r["mean_value"] == float(amp)  # exact for constant fill
+            assert all(abs(f - amp / 32768.0) < 1e-6 for f in r["features"])
+        else:
+            v = mid % 251
+            assert r["format"] == ("ppm" if m == 0 else "pgm")
+            assert (r["width"], r["height"]) == (4 + mid % 13, 3 + mid % 7)
+            assert r["channels"] == (3 if m == 0 else 1)
+            assert r["mean_value"] == float(v)
+            assert all(abs(f - v / 255.0) < 1e-6 for f in r["features"])
+        assert len(r["features"]) == multimodal.FEATURE_DIM
+    # extract_features('real') produces content features for decodables
+    feats = {r["media_id"]: r for r in
+             multimodal.extract_features(media, decode_fn="real").collect()}
+    assert all(f["features"] is not None for f in feats.values())
+
+
+def test_multimodal_decode_malformed_is_per_row(spark):
+    """One truncated image and one non-PCM blob must surface as
+    decode_error rows, not a failed Spark stage."""
+    import pandas as pd
+
+    good = b"P5\n2 2\n255\n" + bytes([7]) * 4
+    bad_trunc = b"P6\n100 100\n255\n" + b"\x00" * 10  # raster too short
+    bad_fmt = b"garbage-not-a-media-file"
+    pdf = pd.DataFrame({
+        "media_id": [1, 2, 3],
+        "kind": ["image", "image", "video"],
+        "payload": [good, bad_trunc, bad_fmt],
+        "meta": [None, None, None],
+    })
+    media = spark.createDataFrame(pdf, multimodal.MEDIA_SCHEMA)
+    rows = {r["media_id"]: r for r in multimodal.decode_media(media).collect()}
+    assert rows[1]["decode_error"] is None and rows[1]["mean_value"] == 7.0
+    assert "truncated" in rows[2]["decode_error"]
+    assert "unsupported" in rows[3]["decode_error"]
+    assert rows[2]["features"] is None and rows[3]["features"] is None
+
+
+def test_wav_roundtrip(spark):
+    """wav_bytes → _parse_wav round-trips arbitrary int16 content."""
+    import numpy as np
+
+    sig = (np.sin(np.linspace(0, 40, 1600)) * 12000).astype("<i2")
+    blob = multimodal.wav_bytes(16000, sig)
+    n_ch, sr, back = multimodal._parse_wav(blob)
+    assert (n_ch, sr) == (1, 16000)
+    assert np.array_equal(back, sig)
 
 
 def test_generate_embeddings_deterministic_and_clustered(spark):
@@ -367,3 +462,25 @@ def test_hash_split_deterministic_and_accurate(spark):
     joined = small.alias("s").join(split.alias("b"), "doc_id").where(
         F.col("s.split") != F.col("b.split")).count()
     assert joined == 0
+
+
+def test_hash_split_null_keys_are_visible(spark):
+    """md5(NULL) is NULL, so without an explicit guard a null-key row
+    falls through every WHEN into the LAST split — silently polluting
+    the eval set. Nulls must surface as NULL (or a named quarantine
+    split), never fold into 'test'."""
+    from pyspark.sql import functions as F
+
+    from spark_cdc.operators.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "doc_id int"
+    )
+    got = {r["doc_id"]: r["split"] for r in hash_split(
+        df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert got[None] is None
+    assert got[1] is not None and got[2] is not None
+    named = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                       null_split="quarantine")
+    assert {r["split"] for r in named.where(F.col("doc_id").isNull()).collect()} \
+        == {"quarantine"}
