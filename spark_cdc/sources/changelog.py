@@ -43,12 +43,21 @@ def generate_change_log(
     ts_tie_width: int = 8,
     evolution_frac: float | None = None,
     partitions: int | None = None,
+    zipf_alpha: float | None = None,
 ) -> DataFrame:
     """CDC change log (FIXTURES.md F2): columns
     (lsn, op_seq, op, conv_id, turn_idx, role, text, tool, ts).
 
     - conv pick is power-law skewed: ``floor(n_convs * u^skew)`` —
       conv 0 is the hot conversation (Zipf-ish tail).
+    - ``zipf_alpha`` (e.g. 1.1) replaces that with a true Zipf
+      rank-frequency draw via inverse-CDF on the deterministic
+      uniform: ``rank = floor(u^(-1/(α-1)))`` gives
+      P(rank ≥ k) = k^-(α-1), i.e. pmf ∝ k^-α. At α=1.1 the hottest
+      conversation receives ~7% of ALL events — the reference's
+      deliberately skewed update mix
+      (/root/reference/seeder/periodic_seed.py:90-137) taken to the
+      adversarial end, for benching hot-key behaviour of the merge.
     - ``ts`` advances one second per ``ts_tie_width`` lsns, so events
       inside a tie window are ordered only by ``op_seq`` (= lsn).
     - ``pct_duplicate`` of events are re-emitted verbatim (redelivery).
@@ -58,15 +67,29 @@ def generate_change_log(
     """
     rng = partitions or spark.sparkContext.defaultParallelism
     base = spark.range(0, n_events, 1, rng).withColumnRenamed("id", "lsn")
+    if zipf_alpha is not None:
+        if zipf_alpha <= 1.0:
+            raise ValueError("zipf_alpha must be > 1")
+        # bounded-Zipf inverse CDF: rescale u into [n^-s, 1) first so
+        # the tail mass beyond rank n redistributes across all ranks
+        # instead of collapsing into the clamp bucket (at α=1.1 that
+        # unbounded tail holds ~37% of the mass). The least() clamp
+        # only guards floating-point edge cases — and keeps the
+        # floor(double→long) inside long range (ANSI overflow).
+        s = zipf_alpha - 1.0
+        a = float(n_convs) ** (-s)
+        u_b = F.lit(a) + F.col("u_conv") * F.lit(1.0 - a)
+        conv_n = F.floor(
+            F.least(F.pow(u_b, F.lit(-1.0 / s)), F.lit(float(n_convs)))
+        ).cast("long") - F.lit(1)
+    else:
+        conv_n = F.least(
+            F.floor(F.lit(n_convs) * F.pow(F.col("u_conv"), F.lit(skew))),
+            F.lit(n_convs - 1),
+        ).cast("long")
     ev = (
         base.withColumn("u_conv", _u(seed, 1, F.col("lsn")))
-        .withColumn(
-            "conv_n",
-            F.least(
-                F.floor(F.lit(n_convs) * F.pow(F.col("u_conv"), F.lit(skew))),
-                F.lit(n_convs - 1),
-            ).cast("long"),
-        )
+        .withColumn("conv_n", conv_n)
         .withColumn("conv_id", F.concat(F.lit("conv-"), F.col("conv_n")))
         .withColumn(
             "turn_idx",

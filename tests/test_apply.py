@@ -170,3 +170,47 @@ def test_lineage_metrics_recorded(spark, tmp_table_path):
     summ = table.manifest["summary"]
     assert summ["operation"] == "merge" and summ["batch_id"] == 0
     assert summ["min_lsn"] == 0 and summ["max_lsn"] == 499
+
+
+def test_zipf_changelog_replay_correct_under_skew(spark, tmp_table_path):
+    """Zipf(α=1.1) change log: the hottest conversation carries ~10% of
+    ALL events (a single merge group absorbing an outsized share), and
+    a replay of it still resolves to the exact latest-version state —
+    the map-side-combine claim exercised under real hot-key pressure."""
+    from pyspark.sql import Window
+
+    log = generate_change_log(
+        spark, n_events=6000, n_convs=400, seed=21, zipf_alpha=1.1
+    )
+    counts = {r["conv_id"]: r["n"] for r in
+              log.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    hot = counts.get("conv-0", 0)
+    assert hot / total > 0.05, f"conv-0 share {hot/total:.3f} not hot"
+    # deterministic across invocations
+    again = generate_change_log(
+        spark, n_events=6000, n_convs=400, seed=21, zipf_alpha=1.1
+    )
+    assert log.exceptAll(again).count() == 0
+
+    table = LakeTable.create(
+        spark, tmp_table_path, PAYLOAD_SCHEMA,
+        key_columns=KEY_COLUMNS, num_buckets=4,
+    )
+    for i, (lo, hi) in enumerate([(0, 3000), (3000, 6000)]):
+        apply_batch(
+            table, log.where((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+            batch_id=i, mode="mor", collect_lineage=False,
+        )
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.coalesce(F.col("ts"), F.lit("1900-01-01").cast("timestamp")).desc(),
+        F.coalesce(F.col("op_seq"), F.lit(-1)).desc(), F.col("lsn").desc(),
+    )
+    want = (
+        log.withColumn("_rn", F.row_number().over(w)).where("_rn = 1")
+        .where(F.col("op") != "d")
+    )
+    got = table.read()
+    want = want.select(*got.columns)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
