@@ -90,6 +90,41 @@ def exact_duplicates(
     return fp_df.join(groups, "fp").select(id_col, "fp", "keep_id", "n_docs")
 
 
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "exact",
+) -> DataFrame:
+    """The end product of the dedup family: the corpus with every
+    duplicate-group member except the keeper (min id) dropped.
+
+    ``method='exact'``: normalized-fingerprint groups →
+    left_anti join on the non-keeper ids (two shuffles total, both
+    spillable, AQE-skew-splittable — works when a boilerplate group has
+    10^8 members). ``method='components'``: also folds NEAR-duplicates
+    — MinHash-LSH candidates verified by n-gram Jaccard, transitively
+    closed with big-star/small-star, one survivor per component.
+    """
+    if method == "exact":
+        losers = (
+            exact_duplicates(df, text_col, id_col)
+            .where(F.col(id_col) != F.col("keep_id"))
+            .select(id_col)
+        )
+    elif method == "components":
+        cand = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col)
+        pairs = ngram_jaccard_pairs(df, cand, id_col=id_col, text_col=text_col)
+        comp = duplicate_components_star(pairs.select("id_a", "id_b"))
+        losers = (
+            comp.where(F.col("doc_id") != F.col("keep_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+    else:
+        raise ValueError(f"unknown dedup method {method!r}")
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 # ----------------------------------------------------------- shingles
 def char_shingles(c, k: int = 5):
     """Character k-shingles of the lower-cased normalized text as an

@@ -1370,6 +1370,24 @@ def dedup_exact(spark, sf_dir):
     return dedup_ops.exact_duplicates(d)
 
 
+@query(
+    "dedup_corpus_exact",
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep
+      FROM documents)
+    WHERE doc_id = keep
+    """,
+)
+def dedup_corpus_exact(spark, sf_dir):
+    """End product of exact dedup: the corpus itself with every
+    duplicate-group member but the min-id keeper anti-joined away."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.dedup_corpus(d, method="exact").select("doc_id")
+
+
 # Exact all-pairs word-3-gram Jaccard ≥ 0.5 over documents — the
 # verified-output oracle shared by both LSH dedup entries. Valid
 # because candidate recall is 1.0 on this corpus (clean similarity

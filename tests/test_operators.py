@@ -34,6 +34,23 @@ def test_exact_duplicates(spark, docs):
     assert any(set(g["doc_ids"]) == {0, 600} for g in groups)
 
 
+def test_dedup_corpus(spark, docs):
+    n = docs.count()
+    # exact: drops 600 (whitespace-normalized dup of 0), keeps 0
+    kept = {r["doc_id"] for r in
+            dedup_ops.dedup_corpus(docs, method="exact").select("doc_id").collect()}
+    assert 0 in kept and 600 not in kept
+    assert len(kept) == n - 1
+    # components: also folds the near-dup 601 into 1's component
+    kept_c = {r["doc_id"] for r in
+              dedup_ops.dedup_corpus(docs, method="components")
+              .select("doc_id").collect()}
+    assert 0 in kept_c and 1 in kept_c
+    assert 600 not in kept_c and 601 not in kept_c
+    with pytest.raises(ValueError, match="unknown dedup method"):
+        dedup_ops.dedup_corpus(docs, method="nope")
+
+
 def test_exact_duplicates_huge_group_is_spillable(spark):
     """A planted 10^5-member duplicate group must complete and must NOT
     plan a per-group collect_list array (the construct that OOMs a
