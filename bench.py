@@ -94,13 +94,16 @@ class StealWindow:
 
 
 def host_steal_probe(seconds: float = 2.0) -> float:
-    """Standalone pre-flight steal sample (no Spark work): how noisy
-    is the host RIGHT NOW. Used to annotate the whole artifact."""
-    b0, s0 = _cpu_jiffies()
+    """Standalone pre-flight steal sample (no Spark work): stolen
+    jiffies as a fraction of TOTAL cpu capacity (ncpu × USER_HZ ×
+    seconds). Capacity-based, unlike StealWindow's demand-based ratio,
+    because on an idle box busy≈0 makes stolen/(stolen+busy)
+    meaningless (a handful of daemon jiffies can read as 0.8)."""
+    ncpu = os.cpu_count() or 1
+    _b0, s0 = _cpu_jiffies()
     time.sleep(seconds)
-    b1, s1 = _cpu_jiffies()
-    db, ds = b1 - b0, s1 - s0
-    return round(ds / (ds + db), 4) if (ds + db) > 0 else 0.0
+    _b1, s1 = _cpu_jiffies()
+    return round((s1 - s0) / (100.0 * seconds * ncpu), 4)
 
 
 def sf_of(sf_dir: str) -> float:
