@@ -480,6 +480,14 @@ def main() -> None:
 
     steal_preflight = host_steal_probe()
     cdc = run_replay(spark, sf, n_events, n_convs, mode="mor", with_ivm=True)
+    # headline MoR number: if the hypervisor stole >5% of the window,
+    # the sample is host-inflated — take one more and keep the cleaner
+    # regime (both samples stay attributable via their steal_ratio)
+    if cdc["steal_ratio"] > 0.05:
+        retry = run_replay(spark, sf, n_events, n_convs, mode="mor", with_ivm=True)
+        if retry["steal_ratio"] < cdc["steal_ratio"]:
+            retry["first_attempt_steal_ratio"] = cdc["steal_ratio"]
+            cdc = retry
     cdc_cow = run_replay(spark, sf, n_events, n_convs, mode="cow")
     cdc_skew = run_replay(spark, sf, n_events, n_convs, mode="mor",
                           zipf_alpha=1.1)

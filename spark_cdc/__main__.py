@@ -101,6 +101,9 @@ def main(argv: list[str] | None = None) -> int:
     p_check.add_argument("--table", required=True)
     p_check.add_argument("--deep", action="store_true",
                          help="also verify per-key uniqueness with a Spark job")
+    p_check.add_argument("--repair", action="store_true",
+                         help="remove uncommitted manifests ahead of VERSION "
+                         "(crashed/conflicted commits) so writers can proceed")
 
     args = ap.parse_args(argv)
 
@@ -126,7 +129,7 @@ def main(argv: list[str] | None = None) -> int:
                 "warnings": [],
             }))
             return 1
-        report = fsck(table, deep=args.deep)
+        report = fsck(table, deep=args.deep, repair=args.repair)
         print(json.dumps(report))
         return 0 if report["ok"] else 1
 

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from spark_cdc.lake.table import META_DIR, VERSION_FILE, LakeTable
 
 
-def fsck(table: LakeTable, deep: bool = False) -> dict[str, Any]:
+def fsck(table: LakeTable, deep: bool = False, repair: bool = False) -> dict[str, Any]:
     errors: list[str] = []
     warnings: list[str] = []
 
@@ -44,6 +44,30 @@ def fsck(table: LakeTable, deep: bool = False) -> dict[str, Any]:
             head = int(f.read().strip())
     except (OSError, ValueError) as e:
         return {"ok": False, "errors": [f"VERSION unreadable: {e}"], "warnings": []}
+
+    # manifests AHEAD of VERSION: a commit that crashed between writing
+    # its snapshot file and advancing VERSION (or a concurrent loser's
+    # leftover). Harmless to readers but blocks the next writer's
+    # O_EXCL claim on that id — report; remove with repair=True.
+    import re
+
+    ahead = sorted(
+        sid for fn in os.listdir(os.path.join(table.path, META_DIR))
+        for m in [re.fullmatch(r"snap-(\d+)\.json", fn)]
+        if m and (sid := int(m.group(1))) > head
+    )
+    repaired = []
+    if ahead:
+        if repair:
+            for sid in ahead:
+                os.remove(os.path.join(table.path, META_DIR, f"snap-{sid}.json"))
+                repaired.append(sid)
+        else:
+            warnings.append(
+                f"{len(ahead)} uncommitted manifest(s) ahead of VERSION "
+                f"(crashed or conflicted commit): {ahead} — blocks the next "
+                "writer; run repair to clear"
+            )
     # Corrupt manifests raise ValueError subclasses (json.JSONDecodeError,
     # truncated int fields), not just OSError — catch both, and never
     # re-read the head outside this guard: if the head manifest itself is
@@ -130,4 +154,6 @@ def fsck(table: LakeTable, deep: bool = False) -> dict[str, Any]:
     report["ok"] = not errors
     report["errors"] = errors
     report["warnings"] = warnings
+    if repaired:
+        report["repaired_manifests"] = repaired
     return report

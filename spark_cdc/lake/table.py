@@ -64,6 +64,17 @@ V_GEN = "_gen"
 HIDDEN_COLS = (V_TS, V_SEQ, V_DEL, V_GEN)
 
 
+class CommitConflictError(RuntimeError):
+    """Optimistic-concurrency commit failure: another writer committed
+    a snapshot with this id first (Iceberg ``CommitFailedException``
+    analogue). The losing writer's data files are written but
+    unreferenced — safe; recovery is ``refresh()`` and re-run the merge
+    (idempotent under the batch-id guard), never retry the raw commit.
+    May also indicate a CRASHED commit that left a manifest ahead of
+    VERSION — ``fsck`` reports that case and ``check --repair`` clears
+    it."""
+
+
 def bucket_expr(bucket_column: str, num_buckets: int):
     """Deterministic bucket id for a key column (Iceberg-style hash bucket)."""
     return F.pmod(F.xxhash64(F.col(bucket_column)), F.lit(num_buckets)).cast("int")
@@ -710,8 +721,43 @@ class LakeTable:
 
         t0 = _time.monotonic()
         snap_id = manifest["snapshot_id"]
+        parent = manifest.get("parent_id")
+        version_path = os.path.join(self.path, META_DIR, VERSION_FILE)
         snap_path = os.path.join(self.path, META_DIR, f"snap-{snap_id}.json")
-        with open(snap_path, "w") as f:
+        # Optimistic concurrency (single-table, Iceberg-style): creating
+        # the snapshot file with O_EXCL is the atomic claim on this
+        # snapshot id — exactly one writer can win it, so a stale writer
+        # fails loudly instead of silently overwriting the winner's
+        # manifest (lost update). Cheap-fail first on a visibly advanced
+        # VERSION; the O_EXCL create closes the remaining race window.
+        if parent is not None:
+            try:
+                with open(version_path) as f:
+                    current = int(f.read().strip())
+            except (OSError, ValueError):
+                current = None
+            if current is not None and current != parent:
+                raise CommitConflictError(
+                    f"table {self.path} is at snapshot {current}, not this "
+                    f"writer's base {parent}: another writer committed first. "
+                    "refresh() and re-run the merge (batch-id guard makes the "
+                    "retry idempotent)."
+                )
+        try:
+            fd = os.open(snap_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        except FileExistsError:
+            if not os.path.exists(version_path):
+                # crashed CREATE: snap-0 written, VERSION never was —
+                # the table never became visible, safe to re-claim
+                fd = os.open(snap_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+            else:
+                raise CommitConflictError(
+                    f"snapshot {snap_id} already exists at {self.path}: a "
+                    "concurrent writer won this commit (refresh() and re-run "
+                    "the merge), or a crashed commit left a manifest ahead of "
+                    "VERSION (fsck reports it; `check --repair` clears it)."
+                ) from None
+        with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())

@@ -189,3 +189,74 @@ def test_file_stats_pruning_and_lookup(spark, tmp_table_path):
     want = [(r["conv_id"], r["text"])
             for r in t.read().where("conv_id = 'c150'").collect()]
     assert [(r["conv_id"], r["text"]) for r in t.lookup("c150").collect()] == want
+
+
+def test_commit_conflict_detected_not_lost(spark, tmp_path):
+    """Two writers from the same base snapshot: the second commit must
+    raise CommitConflictError, never silently overwrite the winner
+    (lost update). refresh() + re-merge recovers."""
+    import datetime
+
+    import pytest
+
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.cdc.envelope import CHANGE_SCHEMA
+    from spark_cdc.lake.table import CommitConflictError
+
+    path = str(tmp_path / "t")
+    a = LakeTable.create(spark, path, PAYLOAD_SCHEMA,
+                         key_columns=["conv_id", "turn_idx"], num_buckets=2)
+    b = LakeTable.load(spark, path)
+
+    def ev(lsn, conv, text):
+        return (lsn, lsn, "c", conv, 0, "user", text,
+                None, datetime.datetime(2024, 1, 1))
+
+    apply_batch(a, spark.createDataFrame([ev(1, "c1", "from-a")], CHANGE_SCHEMA),
+                batch_id=0, collect_lineage=False)
+    # b is stale at snapshot 0; its merge must fail the commit
+    with pytest.raises(CommitConflictError):
+        apply_batch(b, spark.createDataFrame([ev(2, "c2", "from-b")], CHANGE_SCHEMA),
+                    batch_id=0, collect_lineage=False)
+    # a's committed row is intact; recovery = refresh + re-run
+    b.refresh()
+    apply_batch(b, spark.createDataFrame([ev(2, "c2", "from-b")], CHANGE_SCHEMA),
+                batch_id=1, collect_lineage=False)
+    got = {(r["conv_id"], r["text"]) for r in b.read().collect()}
+    assert got == {("c1", "from-a"), ("c2", "from-b")}
+
+
+def test_fsck_repairs_manifest_ahead_of_version(spark, tmp_path, capsys):
+    """A crashed commit's manifest ahead of VERSION is reported as a
+    warning, blocks the next writer's O_EXCL claim, and `check
+    --repair` clears it so writes proceed."""
+    import datetime
+    import json as _json
+    import os as _os
+
+    import pytest
+
+    from spark_cdc.__main__ import main
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.cdc.envelope import CHANGE_SCHEMA
+    from spark_cdc.lake.fsck import fsck
+    from spark_cdc.lake.table import META_DIR, CommitConflictError
+
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, PAYLOAD_SCHEMA,
+                         key_columns=["conv_id", "turn_idx"], num_buckets=2)
+    # simulate the crash: manifest for snapshot 1 exists, VERSION still 0
+    with open(_os.path.join(path, META_DIR, "snap-1.json"), "w") as f:
+        f.write("{}")
+    rep = fsck(t)
+    assert rep["ok"] and any("ahead of VERSION" in w for w in rep["warnings"])
+    batch = spark.createDataFrame(
+        [(1, 1, "c", "c1", 0, "user", "x", None, datetime.datetime(2024, 1, 1))],
+        CHANGE_SCHEMA)
+    with pytest.raises(CommitConflictError):
+        apply_batch(t, batch, batch_id=0, collect_lineage=False)
+    assert main(["check", "--table", path, "--repair"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["repaired_manifests"] == [1]
+    apply_batch(t, batch, batch_id=0, collect_lineage=False)
+    assert t.read().count() == 1
