@@ -130,3 +130,38 @@ def test_feed_follow_loop(spark, tmp_path):
     assert _state(mirror) == _state(src)
     # service mode honors should_stop before doing any work
     assert follow(consumer, apply_fn, should_stop=lambda: True) == 0
+
+
+def test_feed_across_schema_evolution(spark, tmp_path):
+    """read_changes spanning a schema-evolution commit: the pre-image
+    side (old schema) null-fills the added column, diff and pre-images
+    stay correct. Pins a subtle cross-feature interaction."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.cdc.envelope import CHANGE_SCHEMA, PAYLOAD_SCHEMA
+
+    fields = [f for f in PAYLOAD_SCHEMA.fields if f.name != "tool"]
+    t = LakeTable.create(spark, str(tmp_path / "t"), T.StructType(fields),
+                         key_columns=["conv_id", "turn_idx"], num_buckets=2)
+    pre_schema = T.StructType([f for f in CHANGE_SCHEMA.fields if f.name != "tool"])
+    b0 = spark.createDataFrame(
+        [(1, 1, "c", "c1", 0, "user", "a", datetime.datetime(2024, 1, 1)),
+         (2, 2, "c", "c2", 0, "user", "b", datetime.datetime(2024, 1, 1))],
+        pre_schema)
+    apply_batch(t, b0, batch_id=0, collect_lineage=False)
+    snap_a = t.snapshot_id
+    b1 = spark.createDataFrame(
+        [(3, 3, "u", "c1", 0, "user", "a2", "search", datetime.datetime(2024, 1, 2)),
+         (4, 4, "c", "c3", 0, "user", "c", None, datetime.datetime(2024, 1, 2))],
+        CHANGE_SCHEMA)
+    apply_batch(t, b1, batch_id=1, collect_lineage=False)
+    diff = sorted((r["conv_id"], r["_change_type"], r["text"], r["tool"])
+                  for r in t.read_changes(snap_a).collect())
+    assert diff == [("c1", "update_postimage", "a2", "search"),
+                    ("c3", "insert", "c", None)]
+    pre = sorted((r["conv_id"], r["_pre_text"], r["tool"])
+                 for r in t.read_changes(snap_a, include_preimage=True).collect())
+    assert pre == [("c1", "a", "search"), ("c3", None, None)]

@@ -185,3 +185,25 @@ def test_cow_bulk_sql_replay_reference_equal_and_single_exchange(spark, tmp_path
     plan = resolved._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_dedup_corpus_plan_scales(spark):
+    """dedup_corpus(exact): no cartesian product, no per-group array
+    aggregation, map-side partial combine present — the constructs that
+    decide whether the op survives a 10^8-member duplicate group."""
+    from spark_cdc.operators.dedup_ops import dedup_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = dedup_corpus(docs, method="exact")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "collect_list" not in plan
+    assert "partial_count" in plan or "Partial" in plan
+
+
+def test_decode_media_plan_no_shuffle(spark):
+    """Media decode is a stateless per-batch map: zero exchanges."""
+    from spark_cdc.operators import multimodal
+
+    dec = multimodal.decode_media(multimodal.generate_decodable_media_fixture(spark, 50))
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
