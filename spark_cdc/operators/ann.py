@@ -9,6 +9,14 @@
   table; queries probe their bucket(s) and only rank collisions.
   Hyperplanes are derived deterministically from a seed (no RNG at
   execution time → replay-stable).
+- ``ann_topk_ivf`` (+ ``ivf_write_partitioned`` probe layout) — coarse
+  quantizer cells as an equi-join / partition-pruned scan.
+- ``train_pq_codebooks`` / ``ann_topk_pq`` — product quantization:
+  the memory-bound tier (FAISS-style). The corpus is encoded once
+  into m·int16 codes (~380× smaller than dim-768 float64 vectors);
+  ADC lookup tables score a SKINNY codes scan per query, and the
+  shortlist is exact-re-ranked from raw vectors so quantization error
+  affects recall only, never reported scores.
 
 Signatures are computed by an Arrow-batched numpy matmul — ONE
 ``(batch, dim) @ (dim, tables·bits)`` product per Arrow batch with the
@@ -409,6 +417,198 @@ def ann_topk_ivf_partitioned(
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+# ------------------------------------------------------ product quantization
+def train_pq_codebooks(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 42,
+    sample_size: int = 10_000,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic product-quantization codebooks: the embedding space
+    is split into ``m`` contiguous subspaces of ``dim//m`` dims and a
+    ``n_codes``-center Lloyd k-means is trained per subspace over the
+    same hash-ordered bounded sample :func:`train_ivf_centroids` uses
+    (no RNG at execution time — the index is replay-stable).
+
+    Vectors are unit-normalized BEFORE splitting, so summed per-subspace
+    inner products approximate the full cosine (the ADC trick). Returns
+    ``(m, n_codes, dim//m)`` float64.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    rows = (
+        vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_size)
+        .collect()
+    )
+    M = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    k = min(n_codes, len(M))
+    books = np.zeros((m, n_codes, sub))
+    for j in range(m):
+        X = M[:, j * sub:(j + 1) * sub]
+        cent = X[rng.choice(len(X), size=k, replace=False)]
+        for _ in range(iters):
+            # min-L2 assignment: argmax(x·c − ‖c‖²/2), one matmul
+            aff = X @ cent.T - 0.5 * np.einsum("ij,ij->i", cent, cent)[None, :]
+            assign = aff.argmax(axis=1)
+            for c in range(len(cent)):
+                members = X[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j, :k] = cent
+    return books
+
+
+def pq_encode_udf(codebooks: np.ndarray):
+    """pandas UDF: embedding → ``m`` int16 codes (argmin-L2 per
+    subspace on the unit-normalized vector; one matmul per subspace per
+    Arrow batch, codebooks as closure constants). The encoded table is
+    the SKINNY index: m·2 bytes per vector instead of dim·8 — at
+    dim 768 / m 8 that is a ~380× smaller scan for the shortlist pass.
+    """
+    B = np.ascontiguousarray(codebooks)
+    m, _n_codes, sub = B.shape
+    half_sq = 0.5 * np.einsum("jkc,jkc->jk", B, B)  # (m, n_codes)
+
+    @F.pandas_udf(T.ArrayType(T.ShortType()))
+    def _encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(M), m), dtype=np.int16)
+        for j in range(m):
+            aff = M[:, j * sub:(j + 1) * sub] @ B[j].T - half_sq[j][None, :]
+            codes[:, j] = aff.argmax(axis=1).astype(np.int16)
+        return pd.Series([row.tolist() for row in codes])
+
+    return _encode
+
+
+def pq_adc_udf(codebooks: np.ndarray, queries_mat: np.ndarray):
+    """pandas UDF: (query_idx, codes) → approximate cosine via
+    asymmetric distance computation. Per-query lookup tables
+    ``T[q, j, code] = q_j · C[j, code]`` are precomputed ONCE as a
+    closure constant (queries are the small broadcast side by
+    contract); scoring a batch is pure fancy-indexing + sum — no
+    per-row Python, no dim-wide data movement."""
+    B = np.ascontiguousarray(codebooks)
+    m = B.shape[0]
+    sub = B.shape[2]
+    Q = np.asarray(queries_mat, dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # T: (n_queries, m, n_codes)
+    T_lut = np.einsum("qjs,jks->qjk", Q.reshape(len(Q), m, sub), B)
+
+    @F.pandas_udf(T.DoubleType())
+    def _adc(qidx: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(qidx) == 0:
+            return pd.Series([], dtype="float64")
+        qi = qidx.to_numpy(dtype=np.int64)
+        C = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
+        scores = T_lut[qi[:, None], np.arange(m)[None, :], C].sum(axis=1)
+        return pd.Series(scores)
+
+    return _adc
+
+
+def ann_topk_pq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 256,
+    shortlist: int = 64,
+    seed: int = 42,
+    sample_size: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    score_arrow: bool = True,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ-shortlist + exact re-rank top-k — the memory-bound scale path
+    for 100 TB embedding corpora (production practice: FAISS IVF/PQ):
+
+    1. encode the corpus once into m·int16 codes (skinny index table);
+    2. ADC-score codes against every query via per-query lookup tables
+       (a scan of the codes table only — ~380× less I/O than raw
+       vectors at dim 768) and keep a ``shortlist`` per query;
+    3. join the shortlist ids back to the raw vectors (AQE broadcasts
+       the tiny shortlist) and exact-cosine re-rank to the final k —
+       so quantization error affects RECALL only, never the reported
+       scores, and a sufficient shortlist makes the result equal
+       brute force (driver-oracle-checked at sf0.01).
+
+    Pass ``codebooks`` to reuse a trained index across query batches.
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            vectors, dim, m=m, n_codes=n_codes, seed=seed,
+            sample_size=sample_size, id_col=id_col, vec_col=vec_col,
+        )
+    qrows = sorted(
+        ((r[0], list(r[1])) for r in
+         queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>")).collect()),
+        key=lambda t: t[0],
+    )
+    if not qrows:
+        raise ValueError("ann_topk_pq needs a non-empty (small) query side")
+    qid_of_idx = {i: qid for i, (qid, _) in enumerate(qrows)}
+    Qm = np.stack([np.asarray(v, dtype=np.float64) for _, v in qrows])
+
+    codes = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        pq_encode_udf(codebooks)(F.col(vec_col).cast("array<double>")).alias("codes"),
+    )
+    qidx = F.explode(F.array(*[F.lit(i) for i in range(len(qrows))])).alias("qidx")
+    pairs = codes.select("vec_id", "codes", qidx)
+    adc = pq_adc_udf(codebooks, Qm)(F.col("qidx"), F.col("codes"))
+    w = Window.partitionBy("qidx").orderBy(F.col("adc").desc(), F.col("vec_id"))
+    short = (
+        pairs.select("qidx", "vec_id", adc.alias("adc"))
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= shortlist)
+        .select("qidx", "vec_id")
+    )
+    # map qidx back to the caller's query ids and re-rank exactly
+    mapping = F.create_map(
+        *[x for i, qid in qid_of_idx.items() for x in (F.lit(i), F.lit(qid))]
+    )
+    short = short.withColumn("query_id", mapping[F.col("qidx")]).drop("qidx")
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q"),
+    )
+    cand = short.join(v, "vec_id").join(F.broadcast(q), "query_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    if score_arrow:
+        cos = cosine_udf()(F.col("v"), F.col("q"))
+    else:
+        cos = F.try_divide(_dot(F.col("v"), F.col("q")), _norm(F.col("v")) * _norm(F.col("q")))
+    scored = cand.select("query_id", "vec_id", cos.alias("cosine"))
+    wf = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wf))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )

@@ -1583,6 +1583,37 @@ def ann_lsh(spark, sf_dir):
 
 
 @query(
+    "ann_topk_pq",
+    """
+    SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+             list_cosine_similarity(v.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(v.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                                         v.vec_id) AS rank
+      FROM embeddings v, embeddings q
+      WHERE q.vec_id < 5 AND v.vec_id <> q.vec_id)
+    WHERE rank <= 5
+    """,
+)
+def ann_pq(spark, sf_dir):
+    """Product-quantization shortlist + exact re-rank under the EXACT
+    top-k oracle: ADC over m=16 int16 codes selects a 128-deep
+    shortlist (recall 1.0 on this corpus — deterministic hash-sampled
+    codebooks, replay-stable), then exact cosine re-ranks, so the
+    result equals brute force and the reported scores ARE exact.
+    JVM fold scoring for bit-parity with the oracle (scale default is
+    the numpy path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    res = ann.ann_topk_pq(
+        emb, queries, dim=64, k=5, m=16, n_codes=128, shortlist=128,
+        score_arrow=False,
+    )
+    return res.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@query(
     "multimodal_features",
     """
     SELECT t.range AS media_id,

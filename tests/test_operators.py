@@ -501,3 +501,27 @@ def test_hash_split_null_keys_are_visible(spark):
                        null_split="quarantine")
     assert {r["split"] for r in named.where(F.col("doc_id").isNull()).collect()} \
         == {"quarantine"}
+
+
+def test_ann_pq_equals_exact_and_deterministic(spark):
+    """PQ shortlist + exact re-rank equals brute force at the tuned
+    depth; codebooks/codes are replay-stable (no execution-time RNG);
+    the code table is the skinny m·int16 shape."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in ann.cosine_topk(emb, queries, k=5, score_arrow=False).collect()}
+    got = ann.ann_topk_pq(emb, queries, dim=64, k=5, m=16, n_codes=128,
+                          shortlist=128, score_arrow=False)
+    pq = {(r["query_id"], r["rank"]): r["vec_id"] for r in got.collect()}
+    assert pq == exact
+    # determinism: same codebooks twice
+    import numpy as np
+    b1 = ann.train_pq_codebooks(emb, dim=64, m=16, n_codes=128)
+    b2 = ann.train_pq_codebooks(emb, dim=64, m=16, n_codes=128)
+    assert np.array_equal(b1, b2)
+    codes = emb.select(
+        ann.pq_encode_udf(b1)(F.col("embedding").cast("array<double>")).alias("c")
+    ).first()["c"]
+    assert len(codes) == 16 and all(0 <= c < 128 for c in codes)
