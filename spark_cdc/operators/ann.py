@@ -555,7 +555,17 @@ def ann_topk_pq(
        scores, and a sufficient shortlist makes the result equal
        brute force (driver-oracle-checked at sf0.01).
 
-    Pass ``codebooks`` to reuse a trained index across query batches.
+    Sizing ``shortlist``: on clustered corpora a query's own cluster
+    can quantize to (near-)identical codes, making ADC scores tie
+    across the whole cluster — the shortlist must exceed the expected
+    cluster size or true neighbours fall off it (measured: 2/40
+    positions at shortlist 100 on 312-member clusters, 40/40 at 400).
+
+    Pass ``codebooks`` to reuse a trained index across query batches —
+    training is the one-time cost; with it amortized the query path
+    measured 13× faster than brute force at 20k × dim-768
+    (2.5 s vs 32 s), before any of the ~380× scan-size advantage that
+    only shows on disk-bound corpora.
     """
     if codebooks is None:
         codebooks = train_pq_codebooks(

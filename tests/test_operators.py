@@ -525,3 +525,26 @@ def test_ann_pq_equals_exact_and_deterministic(spark):
         ann.pq_encode_udf(b1)(F.col("embedding").cast("array<double>")).alias("c")
     ).first()["c"]
     assert len(codes) == 16 and all(0 <= c < 128 for c in codes)
+
+
+def test_ann_pq_dim768_clustered(spark):
+    """PQ at production dim on the clustered fixture: equals exact
+    top-k once the shortlist exceeds the cluster size (ADC ties across
+    a quantization-collided cluster are resolved by the exact re-rank,
+    not by luck), with a reused trained index."""
+    from spark_cdc.sources.changelog import generate_embeddings
+
+    vecs = generate_embeddings(spark, n_vectors=10_000, dim=768, n_clusters=32).cache()
+    try:
+        queries = vecs.where(F.col("vec_id") % 2500 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        exact = {(r["query_id"], r["rank"]): r["vec_id"]
+                 for r in ann.cosine_topk(vecs, queries, k=5, score_arrow=True).collect()}
+        books = ann.train_pq_codebooks(vecs, dim=768, m=16, n_codes=256,
+                                       sample_size=4000)
+        got = ann.ann_topk_pq(vecs, queries, dim=768, k=5, m=16, n_codes=256,
+                              shortlist=500, codebooks=books)
+        pq = {(r["query_id"], r["rank"]): r["vec_id"] for r in got.collect()}
+        assert pq == exact
+    finally:
+        vecs.unpersist()
