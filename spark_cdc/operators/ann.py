@@ -622,3 +622,107 @@ def ann_topk_pq(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+def ann_topk_ivfpq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 32,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 256,
+    shortlist: int = 64,
+    seed: int = 42,
+    sample_size: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    score_arrow: bool = True,
+    centroids=None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF + PQ composed — the full FAISS-style pipeline and the shape
+    that survives 100 TB of embeddings:
+
+    1. coarse quantizer (IVF) routes each vector to ONE list and each
+       query to its ``nprobe`` nearest lists — candidate generation is
+       an equi-join on ``list_id`` (partition-prunable via
+       :func:`ivf_write_partitioned`), so a query never scans outside
+       its probed cells;
+    2. WITHIN the probed cells, ADC over m·int16 PQ codes picks a
+       ``shortlist`` per query — the scan is the skinny (id, list_id,
+       codes) projection, not raw vectors;
+    3. exact cosine re-rank of the shortlist from raw vectors (AQE
+       broadcasts the shortlist ids) — reported scores are exact.
+
+    Shortlist sizing: must cover the expected per-(query, probed-cell)
+    survivor count; quantization-collided cells tie in ADC and the
+    re-rank resolves them (see :func:`ann_topk_pq`). Pass
+    ``centroids``/``codebooks`` to reuse a trained index.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, dim, n_lists, seed, sample_size, id_col=id_col, vec_col=vec_col
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            vectors, dim, m=m, n_codes=n_codes, seed=seed,
+            sample_size=sample_size, id_col=id_col, vec_col=vec_col,
+        )
+    qrows = sorted(
+        ((r[0], list(r[1])) for r in
+         queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>")).collect()),
+        key=lambda t: t[0],
+    )
+    if not qrows:
+        raise ValueError("ann_topk_ivfpq needs a non-empty (small) query side")
+    Qm = np.stack([np.asarray(v, dtype=np.float64) for _, v in qrows])
+
+    # skinny index rows: (vec_id, list_id, codes) — built in one pass
+    vcast = F.col(vec_col).cast("array<double>")
+    index = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        ivf_assign_udf(centroids, nprobe=1)(vcast)[0].alias("list_id"),
+        pq_encode_udf(codebooks)(vcast).alias("codes"),
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("list_id", F.explode(ivf_assign_udf(centroids, nprobe=nprobe)(F.col("qv"))))
+    )
+    # attach the dense query index used by the ADC lookup tables
+    qid_to_idx = {qid: i for i, (qid, _) in enumerate(qrows)}
+    idx_map = F.create_map(
+        *[x for qid, i in qid_to_idx.items() for x in (F.lit(qid), F.lit(i))]
+    )
+    cand = index.join(
+        F.broadcast(q.select("query_id", "list_id")), "list_id"
+    ).where(F.col("vec_id") != F.col("query_id"))
+    adc = pq_adc_udf(codebooks, Qm)(idx_map[F.col("query_id")], F.col("codes"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id"))
+    short = (
+        cand.select("query_id", "vec_id", adc.alias("adc"))
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    v = vectors.select(F.col(id_col).alias("vec_id"), vcast.alias("v"))
+    qfull = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q")
+    )
+    rer = short.join(v, "vec_id").join(F.broadcast(qfull), "query_id")
+    if score_arrow:
+        cos = cosine_udf()(F.col("v"), F.col("q"))
+    else:
+        cos = F.try_divide(_dot(F.col("v"), F.col("q")), _norm(F.col("v")) * _norm(F.col("q")))
+    scored = rer.select("query_id", "vec_id", cos.alias("cosine"))
+    wf = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

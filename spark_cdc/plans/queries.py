@@ -1781,6 +1781,70 @@ def ann_ivf(spark, sf_dir):
 
 
 @query(
+    "ann_topk_ivfpq",
+    """
+    WITH centers AS (
+      SELECT vec_id AS c, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 10
+    ), members AS (
+      SELECT t.range AS vec_id, t.range % 10 AS c FROM range(200) t
+    ), vecs AS (
+      SELECT m.vec_id,
+             list_transform(range(1, 65),
+               i -> cv[i] + CASE WHEN i = CAST(m.vec_id % 64 AS INTEGER) + 1
+                            THEN 0.02 * (m.vec_id // 10 + 1) ELSE 0 END
+             ) AS embedding
+      FROM members m JOIN centers ON m.c = centers.c
+    )
+    SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+             list_cosine_similarity(v.embedding, q.embedding) AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(v.embedding, q.embedding) DESC,
+                                         v.vec_id) AS rank
+      FROM vecs v, vecs q
+      WHERE q.vec_id < 5 AND v.vec_id <> q.vec_id)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivfpq(spark, sf_dir):
+    """IVF+PQ composed (the full FAISS-style pipeline) under the exact
+    top-k oracle on the same clustered fixture as ann_topk_ivf: the
+    coarse quantizer routes queries to nprobe=3 of 10 lists, ADC over
+    m=16 int16 codes shortlists within the probed cells, exact cosine
+    re-ranks. shortlist=60 = the full probed-cell candidate count here,
+    so equality with brute force is decided by IVF routing + the
+    re-rank, exactly what the entry exists to check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centers = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") % 10).alias("c"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    members = spark.range(200).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 10).alias("c")
+    )
+    vecs = members.join(centers, "c").select(
+        "vec_id",
+        F.transform(
+            F.col("cv"),
+            lambda x, i: x
+            + F.when(
+                i == (F.col("vec_id") % 64).cast("int"),
+                0.02 * (F.floor(F.col("vec_id") / 10) + 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    queries = vecs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = ann.ann_topk_ivfpq(
+        vecs, queries, dim=64, k=5, n_lists=10, nprobe=3,
+        m=16, n_codes=64, shortlist=60, sample_size=200, score_arrow=False,
+    )
+    return res.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@query(
     "stream_window_counts",
     """
     SELECT date_trunc('hour', ts) AS window_start,

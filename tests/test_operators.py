@@ -548,3 +548,24 @@ def test_ann_pq_dim768_clustered(spark):
         assert pq == exact
     finally:
         vecs.unpersist()
+
+
+def test_ann_ivfpq_clustered_equals_exact(spark):
+    """IVF+PQ on the d768 clustered fixture: routing + ADC + exact
+    re-rank equals brute force when nprobe covers the query's cluster
+    and the shortlist covers probed-cell survivors."""
+    from spark_cdc.sources.changelog import generate_embeddings
+
+    vecs = generate_embeddings(spark, n_vectors=6_000, dim=768, n_clusters=16).cache()
+    try:
+        queries = vecs.where(F.col("vec_id") % 1500 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        exact = {(r["query_id"], r["rank"]): r["vec_id"]
+                 for r in ann.cosine_topk(vecs, queries, k=5, score_arrow=True).collect()}
+        got = ann.ann_topk_ivfpq(
+            vecs, queries, dim=768, k=5, n_lists=16, nprobe=2,
+            m=16, n_codes=256, shortlist=500, sample_size=3000)
+        pq = {(r["query_id"], r["rank"]): r["vec_id"] for r in got.collect()}
+        assert pq == exact
+    finally:
+        vecs.unpersist()
