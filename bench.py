@@ -53,7 +53,11 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
     "sessionize_conversations",
+    "dedup_corpus_exact",
+    "multimodal_decode",
 ]
 
 

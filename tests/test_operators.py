@@ -569,3 +569,44 @@ def test_ann_ivfpq_clustered_equals_exact(spark):
         assert pq == exact
     finally:
         vecs.unpersist()
+
+
+def test_ann_ivfpq_partitioned_layout(spark, tmp_path):
+    """The at-scale IVF+PQ serving layout: codes-only index partitioned
+    by list_id; a probe reads only probed partitions (PartitionFilters
+    plan-asserted), ADC shortlists, exact re-rank from the raw table —
+    and equals the in-memory ann_topk_ivfpq with the same index."""
+    import numpy as np
+    import pandas as pd
+
+    dim, n_clusters, per_cluster = 64, 10, 80
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((n_clusters, dim))
+    M = np.repeat(base, per_cluster, axis=0) + 0.1 * rng.standard_normal(
+        (n_clusters * per_cluster, dim)
+    )
+    vecs = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(M)), "embedding": [r.tolist() for r in M]})
+    )
+    queries = vecs.where(F.col("vec_id").isin(0, 100, 500)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cent = ann.train_ivf_centroids(vecs, dim=dim, n_lists=10, sample_size=800)
+    books = ann.train_pq_codebooks(vecs, dim=dim, m=16, n_codes=64, sample_size=800)
+    path = str(tmp_path / "ivfpq")
+    ann.ivfpq_write_partitioned(vecs, path, cent, books)
+
+    got = ann.ann_topk_ivfpq_partitioned(
+        spark, path, vecs, queries, cent, books, k=5, nprobe=3, shortlist=120)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan, plan
+
+    want = ann.ann_topk_ivfpq(
+        vecs, queries, dim=dim, k=5, n_lists=10, nprobe=3, m=16, n_codes=64,
+        shortlist=120, sample_size=800, centroids=cent, codebooks=books)
+    a = sorted(tuple(r) for r in got.select("query_id", "rank", "vec_id").collect())
+    b = sorted(tuple(r) for r in want.select("query_id", "rank", "vec_id").collect())
+    assert a == b
+    # the index rows really are skinny: no raw embedding column stored
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"vec_id", "codes", "list_id"}
