@@ -1,0 +1,116 @@
+"""Corpus keyword search: inverted index + BM25 ranking.
+
+The retrieval sibling of the ANN family — training-data pipelines need
+lexical search as much as vector search ("find every document
+mentioning X", contamination checks against eval sets, targeted
+inspection of a 10^9-doc corpus). Everything is built from relational
+primitives Catalyst can optimize:
+
+- :func:`bm25_index` — explode tokens → per-(token, doc) term
+  frequency + doc length: the classic inverted index as a DataFrame,
+  buildable once and persistable partitioned by token prefix;
+- :func:`bm25_scores` / :func:`bm25_topk` — Okapi BM25. Query terms
+  become an ``isin`` filter on the token column (pushed down to the
+  index scan — at scale with a token-partitioned index the probe reads
+  only the query terms' postings), per-token document frequencies are
+  a tiny broadcast join, and the final per-doc score is one sum
+  aggregate.
+
+No UDFs anywhere — the whole pipeline is JVM column expressions, so it
+sits fully under the DuckDB oracle (entry ``text_bm25_scores``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_cdc.functions.text import normalize_text_expr
+
+
+def _tokens(c) -> "F.Column":
+    return F.split(F.lower(normalize_text_expr(c)), r"\s+")
+
+
+def bm25_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverted index rows ``(token, doc_id, tf, dl)``: term frequency
+    of token in doc, and the doc's token count. One explode + one
+    groupBy (map-side combinable); at 100 TB persist it partitioned or
+    bucketed by token so query probes prune to their postings."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _tokens(F.col(text_col)).alias("_toks"),
+    ).withColumn("dl", F.size("_toks"))
+    return (
+        toks.select("doc_id", "dl", F.explode("_toks").alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Okapi BM25 score of every document matching ≥1 query term:
+    ``(doc_id, score)``. idf = ln(1 + (N − df + ½)/(df + ½)).
+
+    Corpus stats (N, avgdl) are one bounded driver aggregate; document
+    frequencies of the query's terms are |query| rows (broadcast).
+    Pass a prebuilt ``index`` to amortize the inverted-index build
+    across queries."""
+    qtokens = sorted({t for t in query.lower().split() if t})
+    if not qtokens:
+        raise ValueError("empty query")
+    idx = index if index is not None else bm25_index(docs, text_col, id_col)
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(_tokens(F.col(text_col)))).alias("avgdl"),
+    ).first()
+    n, avgdl = stats["n"], float(stats["avgdl"])
+    postings = idx.where(F.col("token").isin(qtokens))
+    df_ = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        postings.join(F.broadcast(df_), "token")
+        .withColumn(
+            "_s",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + F.lit(k1) * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(F.sum("_s").alias("score"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k BM25 matches ``(rank, doc_id, score)`` — ties broken by
+    doc_id for determinism."""
+    from pyspark.sql import Window
+
+    s = bm25_scores(docs, query, text_col, id_col, k1, b, index)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", "score")
+    )

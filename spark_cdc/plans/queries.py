@@ -1583,6 +1583,46 @@ def ann_lsh(spark, sf_dir):
 
 
 @query(
+    "text_bm25_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ), posting AS (
+      SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM toks
+    ), tf AS (
+      SELECT token, doc_id, dl, count(*) AS tf FROM posting
+      WHERE token <> '' GROUP BY 1, 2, 3
+    ), stats AS (
+      SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM toks
+    ), q AS (
+      SELECT token, count(*) AS df FROM tf
+      WHERE token IN ('spark', 'merge', 'window') GROUP BY 1
+    )
+    SELECT doc_id, round(sum(
+             ln(1 + (stats.n - q.df + 0.5) / (q.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+           ), 6) AS score
+    FROM tf JOIN q USING (token), stats
+    GROUP BY doc_id
+    """,
+)
+def text_bm25(spark, sf_dir):
+    """Okapi BM25 over the inverted-index DataFrame — pure JVM column
+    expressions end to end (no UDF), so DuckDB reproduces the exact
+    scores from the same tokenization and formula. Rank-free score
+    rows keep the comparison tie-proof."""
+    from spark_cdc.operators.search import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    s = bm25_scores(d, "spark merge window")
+    return s.select("doc_id", F.round("score", 6).alias("score"))
+
+
+@query(
     "ann_topk_pq",
     """
     SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine FROM (

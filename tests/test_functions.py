@@ -84,3 +84,36 @@ def test_lang_id_markers(spark):
         lang_id,
     )
     assert got == ["en", "es", "de", "und"]
+
+
+def test_bm25_search(spark):
+    """BM25: rarer terms dominate, higher tf raises score (sublinearly),
+    index reuse equals from-scratch, top-k deterministic."""
+    from spark_cdc.operators.search import bm25_index, bm25_scores, bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark merges data fast"),
+            (2, "spark spark spark everywhere"),
+            (3, "unrelated text about cats"),
+            (4, "merges and more merges of data"),
+        ],
+        "doc_id long, text string",
+    )
+    scores = {r["doc_id"]: r["score"] for r in
+              bm25_scores(docs, "spark merges").collect()}
+    assert set(scores) == {1, 2, 4}  # doc 3 matches nothing
+    # doc 1 hits BOTH terms -> beats single-term docs
+    assert scores[1] > scores[2] and scores[1] > scores[4]
+    top = bm25_topk(docs, "spark merges", k=2).collect()
+    assert [r["doc_id"] for r in top] == [1, max(
+        (2, 4), key=lambda d: scores[d])]
+    # prebuilt-index path equals from-scratch
+    idx = bm25_index(docs)
+    again = {r["doc_id"]: r["score"] for r in
+             bm25_scores(docs, "spark merges", index=idx).collect()}
+    assert again == scores
+    import pytest
+
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_scores(docs, "   ")
