@@ -90,6 +90,46 @@ def exact_duplicates(
     return fp_df.join(groups, "fp").select(id_col, "fp", "keep_id", "n_docs")
 
 
+def contamination_check(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Eval-set decontamination: which training documents share any
+    word n-gram with any eval document (the GPT-3-style 13-gram
+    collision check; default n=8 for shorter docs).
+
+    Asymmetric by design — the eval set is small, the corpus is 100 TB:
+    eval n-grams explode to a skinny (gram, eval_id) table that AQE
+    broadcasts; corpus n-grams explode and equi-join it, so the corpus
+    side is one scan + projection with the join map-side and the
+    output bounded by actual collisions. Returns one row per
+    contaminated (doc_id, eval_id) pair with the collision count —
+    feed ``.select(id_col).distinct()`` to an anti-join to scrub.
+    """
+    ev = (
+        eval_set.select(
+            F.col(eval_id_col).alias("eval_id"),
+            F.explode(word_ngrams(F.col(eval_text_col), n)).alias("gram"),
+        )
+        .where(F.length("gram") > 0)
+        .distinct()
+    )
+    doc = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    ).where(F.length("gram") > 0)
+    return (
+        doc.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.countDistinct("gram").alias("n_collisions"))
+    )
+
+
 def dedup_corpus(
     df: DataFrame,
     text_col: str = "text",

@@ -1583,6 +1583,37 @@ def ann_lsh(spark, sf_dir):
 
 
 @query(
+    "decontaminate_ngram_overlap",
+    """
+    WITH g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 7, 1) + 1),
+               i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents)
+    )
+    SELECT d.doc_id AS doc_id, e.doc_id AS eval_id,
+           count(DISTINCT d.gram) AS n_collisions
+    FROM g d JOIN (SELECT * FROM g WHERE doc_id < 5) e ON d.gram = e.gram
+    GROUP BY 1, 2
+    """,
+)
+def decontaminate(spark, sf_dir):
+    """Eval-set decontamination under a full oracle: eval set = docs
+    0-4 verbatim, so every 8-gram collision (self, exact dups, shared
+    boilerplate) must be found. Corpus side is a scan+explode with the
+    skinny eval-gram table broadcast — the asymmetric shape that holds
+    when the corpus is 100 TB and the eval set is a benchmark."""
+    d = _t(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return dedup_ops.contamination_check(d, ev, n=8)
+
+
+@query(
     "text_bm25_scores",
     """
     WITH toks AS (

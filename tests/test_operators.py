@@ -610,3 +610,23 @@ def test_ann_ivfpq_partitioned_layout(spark, tmp_path):
     # the index rows really are skinny: no raw embedding column stored
     stored = spark.read.parquet(path)
     assert set(stored.columns) == {"vec_id", "codes", "list_id"}
+
+
+def test_contamination_check(spark, docs):
+    """Planted contamination: an eval doc lifted verbatim from doc 0
+    flags doc 0 (and its exact dup 600); an eval doc of novel text
+    flags nothing."""
+    ev = spark.createDataFrame(
+        [(900, docs.where(F.col("doc_id") == 0).first()["text"]),
+         (901, "entirely novel words never appearing in the corpus fixture zzz qqq"
+               " xxw yyv uut ssr rrq ppn")],
+        "eval_id long, text string",
+    )
+    hits = dedup_ops.contamination_check(docs, ev, n=8)
+    got = {(r["doc_id"], r["eval_id"]) for r in hits.collect()}
+    assert (0, 900) in got and (600, 900) in got
+    assert not any(e == 901 for _, e in got)
+    # scrub: anti-join removes exactly the flagged docs
+    dirty = hits.select("doc_id").distinct()
+    clean = docs.join(dirty, "doc_id", "left_anti")
+    assert clean.count() == docs.count() - dirty.count()
