@@ -75,3 +75,49 @@ def hash_split(df: DataFrame, key_col: str, fractions: dict[str, float],
     return df.withColumn(
         split_col, hash_split_col(key_col, fractions, precision, null_split)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token-window chunks — the
+    context-window preparation step of a training pipeline: one row per
+    (doc, chunk) with ``chunk_idx``, the chunk text and its token
+    count. ``overlap`` tokens are shared between consecutive chunks
+    (stride = chunk_tokens − overlap).
+
+    Pure JVM expressions (split → sequence of window starts →
+    transform slices → posexplode): no UDF, no shuffle — a projection
+    that scales with the scan and pushes column pruning through.
+    Deterministic whitespace tokenization matches
+    :func:`spark_cdc.functions.text.token_count`'s convention; swap in
+    a BPE pandas UDF upstream if model-exact boundaries are needed.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_tokens))
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_idx", "_chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join("_chunk", " ").alias("chunk_text"),
+            F.size("_chunk").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )

@@ -1583,6 +1583,36 @@ def ann_lsh(spark, sf_dir):
 
 
 @query(
+    "chunk_documents_overlap",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), ch AS (
+      SELECT doc_id, unnest(list_transform(
+               range(0, greatest(CAST(ceil((len(t) - 10) / 40.0) AS BIGINT), 1)),
+               i -> struct_pack(ci := i, c := t[i*40+1 : i*40+50]))) AS s
+      FROM toks
+    )
+    SELECT doc_id, CAST(s.ci AS INTEGER) AS chunk_idx,
+           array_to_string(s.c, ' ') AS chunk_text,
+           CAST(len(s.c) AS INTEGER) AS n_tokens
+    FROM ch WHERE len(s.c) > 0
+    """,
+)
+def chunk_docs(spark, sf_dir):
+    """Context-window chunking (50-token windows, 10-token overlap) —
+    pure JVM expression pipeline, full value oracle including the
+    reassembled chunk text."""
+    from spark_cdc.operators.sampling import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=50, overlap=10)
+
+
+@query(
     "decontaminate_ngram_overlap",
     """
     WITH g AS (

@@ -630,3 +630,31 @@ def test_contamination_check(spark, docs):
     dirty = hits.select("doc_id").distinct()
     clean = docs.join(dirty, "doc_id", "left_anti")
     assert clean.count() == docs.count() - dirty.count()
+
+
+def test_chunk_documents(spark):
+    """Chunk boundaries: overlap shared between consecutive chunks,
+    short docs give one chunk, token counts exact, round-trip of the
+    token stream (non-overlapped part) preserved."""
+    from spark_cdc.operators.sampling import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, words), (2, "tiny doc"), (3, "   spaced   out   doc  ")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["chunk_idx"]): r
+            for r in chunk_documents(df, chunk_tokens=40, overlap=10).collect()}
+    # doc 1: 100 tokens, stride 30 -> ceil(90/30)=3 chunks
+    assert {i for d, i in rows if d == 1} == {0, 1, 2}
+    c0, c1 = rows[(1, 0)], rows[(1, 1)]
+    assert c0["n_tokens"] == 40 and c0["chunk_text"].split()[0] == "w0"
+    # overlap: last 10 tokens of chunk 0 == first 10 of chunk 1
+    assert c0["chunk_text"].split()[30:] == c1["chunk_text"].split()[:10]
+    # short docs: single whole chunk; whitespace collapsed
+    assert rows[(2, 0)]["chunk_text"] == "tiny doc"
+    assert rows[(3, 0)]["chunk_text"] == "spaced out doc"
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=10, overlap=10)
