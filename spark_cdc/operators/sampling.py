@@ -121,3 +121,66 @@ def chunk_documents(
         )
         .where(F.col("n_tokens") > 0)
     )
+
+
+PACKING_SCHEMA = "doc_id long, chunk_idx int, n_tokens int, pack_bucket int, pack_idx int"
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    max_tokens: int = 2048,
+    n_buckets: int | None = None,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy sample packing: assign chunks to fixed-capacity token
+    bins (``pack_bucket``, ``pack_idx``) — the padding-minimization
+    step between :func:`chunk_documents` and batch serialization.
+
+    Distributed shape: chunks are hash-salted into ``n_buckets``
+    independent packing domains (default: the cluster parallelism), and
+    first-fit-decreasing runs per bucket inside ``applyInPandas`` — an
+    Arrow-batched, spill-free O(n log n) pass over that bucket's rows
+    only. Global FFD would serialize the corpus through one task; the
+    per-bucket approximation costs a bounded fill-factor loss (bins
+    don't cross buckets) and keeps the op embarrassingly parallel at
+    10^9 chunks. Deterministic: bucket = xxhash64(doc_id) mod buckets,
+    in-bucket order = (tokens desc, doc_id, chunk_idx).
+
+    Chunks longer than ``max_tokens`` get a bin of their own (callers
+    should have chunked to ≤ max_tokens already). Returns one row per
+    input chunk with its assignment — fully spillable; derive per-bin
+    fill with a groupBy on (pack_bucket, pack_idx).
+    """
+    import pandas as pd
+
+    if n_buckets is None:
+        n_buckets = chunks.sparkSession.sparkContext.defaultParallelism
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [tokens_col, id_col, idx_col], ascending=[False, True, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        assign = []
+        for t in pdf[tokens_col]:
+            t = int(t)
+            placed = None
+            for b, used in enumerate(fills):
+                if used + t <= max_tokens:
+                    placed = b
+                    break
+            if placed is None:
+                placed = len(fills)
+                fills.append(0)
+            fills[placed] += t
+            assign.append(placed)
+        pdf["pack_idx"] = pd.Series(assign, dtype="int32")
+        return pdf[[id_col, idx_col, tokens_col, "pack_bucket", "pack_idx"]]
+
+    salted = chunks.select(
+        F.col(id_col), F.col(idx_col).cast("int"), F.col(tokens_col).cast("int"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int").alias("pack_bucket"),
+    )
+    return salted.groupBy("pack_bucket").applyInPandas(pack, PACKING_SCHEMA)

@@ -658,3 +658,31 @@ def test_chunk_documents(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+def test_pack_chunks(spark):
+    """Sample packing: every chunk assigned once, bin capacity
+    respected (oversized chunks isolated), decent fill factor, and
+    deterministic across runs."""
+    from spark_cdc.operators.sampling import chunk_documents, pack_chunks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range((i * 37) % 300 + 5)))
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, chunk_tokens=128)
+    packed = pack_chunks(chunks, max_tokens=256, n_buckets=4).cache()
+    try:
+        assert packed.count() == chunks.count()  # nothing lost or duplicated
+        assert packed.select("doc_id", "chunk_idx").distinct().count() == chunks.count()
+        bins = packed.groupBy("pack_bucket", "pack_idx").agg(
+            F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("members"))
+        over = bins.where((F.col("fill") > 256) & (F.col("members") > 1)).count()
+        assert over == 0  # capacity violated only by singleton oversized chunks
+        stats = bins.agg(F.sum("fill").alias("tok"), F.count(F.lit(1)).alias("nb")).first()
+        assert stats["tok"] / (stats["nb"] * 256) > 0.7  # FFD actually packs
+        again = pack_chunks(chunks, max_tokens=256, n_buckets=4)
+        assert packed.exceptAll(again).count() == 0
+    finally:
+        packed.unpersist()
