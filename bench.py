@@ -42,13 +42,12 @@ N_BATCHES = 8
 BENCH_QUERIES = [
     "tpch_q1_pricing_summary",
     "w1_latest_event_per_user_type",
-    "kpi_user_ctr",
+    "kpi_user_ctr_efficiency",
     "kpi_user_daily_performance",
     "j6_region_rollup",
     "j1_orders_customer_segment",
     "cdc_replay_final_state",
-    "text_quality_score",
-    "text_lang_id",
+    "text_profile",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "ann_topk_lsh",
@@ -56,7 +55,7 @@ BENCH_QUERIES = [
     "ann_topk_pq",
     "ann_topk_ivfpq",
     "sessionize_conversations",
-    "dedup_corpus_exact",
+    "dedup_exact_corpus",
     "multimodal_decode",
 ]
 

@@ -103,7 +103,15 @@ def main(argv: list[str] | None = None) -> int:
                          help="also verify per-key uniqueness with a Spark job")
     p_check.add_argument("--repair", action="store_true",
                          help="remove uncommitted manifests ahead of VERSION "
-                         "(crashed/conflicted commits) so writers can proceed")
+                         "(crashed/conflicted commits) so writers can proceed; "
+                         "only manifests older than --repair-min-age-sec are "
+                         "touched — an in-flight commit sits in this exact "
+                         "state between writing its manifest and advancing "
+                         "VERSION, so only lower the age bound when no "
+                         "writers are active")
+    p_check.add_argument("--repair-min-age-sec", type=float, default=300.0,
+                         help="minimum manifest age before --repair deletes it "
+                         "(default 300)")
 
     args = ap.parse_args(argv)
 
@@ -129,7 +137,8 @@ def main(argv: list[str] | None = None) -> int:
                 "warnings": [],
             }))
             return 1
-        report = fsck(table, deep=args.deep, repair=args.repair)
+        report = fsck(table, deep=args.deep, repair=args.repair,
+                      repair_min_age_sec=args.repair_min_age_sec)
         print(json.dumps(report))
         return 0 if report["ok"] else 1
 

@@ -109,6 +109,58 @@ def lang_id(c: Column) -> Column:
     return result
 
 
+def toy_bpe_tokens(max_piece: int = 4, vocab: frozenset[str] | None = None):
+    """Model-exact tokenizer hook for chunking/packing budgets: returns
+    a ``Column -> Column`` producing ``array<string>`` subword pieces,
+    implemented as an Arrow-vectorized pandas UDF (never per-row Python
+    UDF). Pluggable into :func:`spark_cdc.operators.sampling.
+    chunk_documents`'s ``tokenizer=`` so chunk boundaries are counted
+    in the MODEL's tokens, not whitespace words.
+
+    Tokenization = lowercase → whitespace-split → greedy longest-match
+    subword segmentation of each word (BPE-style inference): at each
+    position take the longest in-vocab piece of length ≤ ``max_piece``,
+    falling back to the single character (always in-vocab).
+
+    ``vocab=None`` means EVERY piece of length ≤ ``max_piece`` is
+    in-vocab, so greedy longest-match degenerates to fixed-width
+    ``max_piece``-char chopping — deterministic and ANSI-SQL
+    expressible, which is what lets the driver's DuckDB oracle check
+    the hook-engaged chunking value-for-value
+    (entry ``chunk_documents_bpe``). Pass a real merge vocab (e.g.
+    learned from a corpus sample) for production BPE behavior; the
+    packing invariants are pinned under a learned vocab by
+    tests/test_sampling.py."""
+    import re as _re
+
+    from pyspark.sql import types as _T
+
+    ws = _re.compile(r"\s+")
+
+    def _one(t):
+        if not isinstance(t, str):
+            return []
+        out: list[str] = []
+        for w in ws.split(t.strip().lower()):
+            if not w:
+                continue
+            i = 0
+            while i < len(w):
+                ln = min(max_piece, len(w) - i)
+                if vocab is not None:
+                    while ln > 1 and w[i : i + ln] not in vocab:
+                        ln -= 1
+                out.append(w[i : i + ln])
+                i += ln
+        return out
+
+    @F.pandas_udf(_T.ArrayType(_T.StringType()))
+    def _tok(texts: pd.Series) -> pd.Series:
+        return texts.map(_one)
+
+    return lambda c: _tok(c)
+
+
 def fingerprint(c: Column) -> Column:
     """Document fingerprint: md5 of the normalized (collapsed
     whitespace, lower-cased) text — stable across engines, used as the

@@ -34,7 +34,19 @@ from pyspark.sql import functions as F
 from spark_cdc.lake.table import META_DIR, VERSION_FILE, LakeTable
 
 
-def fsck(table: LakeTable, deep: bool = False, repair: bool = False) -> dict[str, Any]:
+def fsck(
+    table: LakeTable,
+    deep: bool = False,
+    repair: bool = False,
+    repair_min_age_sec: float = 300.0,
+) -> dict[str, Any]:
+    """``repair_min_age_sec``: a manifest ahead of VERSION is only
+    deleted when its mtime is at least this old. A LEGITIMATE in-flight
+    commit sits in exactly the ahead-of-VERSION state between writing
+    snap-N.json and advancing VERSION; an age guard keeps repair from
+    racing it (deleting the manifest a live writer is about to point
+    VERSION at would corrupt the table head). Pass 0 only when you can
+    assert no writers are active."""
     errors: list[str] = []
     warnings: list[str] = []
 
@@ -59,8 +71,24 @@ def fsck(table: LakeTable, deep: bool = False, repair: bool = False) -> dict[str
     repaired = []
     if ahead:
         if repair:
+            import time as _time
+
+            now = _time.time()
             for sid in ahead:
-                os.remove(os.path.join(table.path, META_DIR, f"snap-{sid}.json"))
+                p = os.path.join(table.path, META_DIR, f"snap-{sid}.json")
+                try:
+                    age = now - os.path.getmtime(p)
+                except OSError:
+                    continue  # already gone — racing writer finished or cleaned up
+                if age < repair_min_age_sec:
+                    warnings.append(
+                        f"manifest snap-{sid} is ahead of VERSION but only "
+                        f"{age:.0f}s old (< {repair_min_age_sec:.0f}s) — may be an "
+                        "in-flight commit; not repaired. Re-run later or lower "
+                        "repair_min_age_sec if no writers are active."
+                    )
+                    continue
+                os.remove(p)
                 repaired.append(sid)
         else:
             warnings.append(

@@ -746,10 +746,30 @@ class LakeTable:
         try:
             fd = os.open(snap_path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
         except FileExistsError:
-            if not os.path.exists(version_path):
-                # crashed CREATE: snap-0 written, VERSION never was —
-                # the table never became visible, safe to re-claim
+            # Re-claim is ONLY for a crashed CREATE (snap-0 written,
+            # VERSION never was — the table never became visible), and
+            # only once the orphan manifest is demonstrably stale. A
+            # LIVE concurrent CREATE sits in exactly this state between
+            # its O_EXCL claim and its VERSION write; truncating its
+            # snap-0 would silently lose its commit — the lost update
+            # CommitConflictError exists to prevent. 60s is orders of
+            # magnitude beyond the claim→VERSION window (two fsync'd
+            # small writes).
+            stale_create = False
+            if snap_id == 0 and not os.path.exists(version_path):
+                try:
+                    stale_create = (_time.time() - os.path.getmtime(snap_path)) > 60.0
+                except OSError:
+                    stale_create = True  # claim vanished: prior loser cleaned up
+            if stale_create:
                 fd = os.open(snap_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+            elif snap_id == 0 and not os.path.exists(version_path):
+                raise CommitConflictError(
+                    f"snapshot 0 at {self.path} was claimed "
+                    "<60s ago and VERSION does not exist yet: a concurrent "
+                    "CREATE is in flight (or just crashed). Retry shortly — "
+                    "a stale orphan claim becomes re-claimable after 60s."
+                ) from None
             else:
                 raise CommitConflictError(
                     f"snapshot {snap_id} already exists at {self.path}: a "

@@ -587,20 +587,24 @@ def ann_topk_pq(
         pq_encode_udf(codebooks)(F.col(vec_col).cast("array<double>")).alias("codes"),
     )
     qidx = F.explode(F.array(*[F.lit(i) for i in range(len(qrows))])).alias("qidx")
-    pairs = codes.select("vec_id", "codes", qidx)
-    adc = pq_adc_udf(codebooks, Qm)(F.col("qidx"), F.col("codes"))
-    w = Window.partitionBy("qidx").orderBy(F.col("adc").desc(), F.col("vec_id"))
-    short = (
-        pairs.select("qidx", "vec_id", adc.alias("adc"))
-        .withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= shortlist)
-        .select("qidx", "vec_id")
-    )
-    # map qidx back to the caller's query ids and re-rank exactly
+    # map qidx to the caller's query ids up front so the self-match
+    # filter runs BEFORE the shortlist window — a corpus-member query's
+    # own vector must not occupy (and then forfeit) a shortlist slot,
+    # and ann_topk_ivfpq filters at the same stage (paths must agree)
     mapping = F.create_map(
         *[x for i, qid in qid_of_idx.items() for x in (F.lit(i), F.lit(qid))]
     )
-    short = short.withColumn("query_id", mapping[F.col("qidx")]).drop("qidx")
+    pairs = codes.select("vec_id", "codes", qidx).withColumn(
+        "query_id", mapping[F.col("qidx")]
+    ).where(F.col("vec_id") != F.col("query_id"))
+    adc = pq_adc_udf(codebooks, Qm)(F.col("qidx"), F.col("codes"))
+    w = Window.partitionBy("qidx").orderBy(F.col("adc").desc(), F.col("vec_id"))
+    short = (
+        pairs.select("qidx", "query_id", "vec_id", adc.alias("adc"))
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= shortlist)
+        .select("query_id", "vec_id")
+    )
     v = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -608,9 +612,7 @@ def ann_topk_pq(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q"),
     )
-    cand = short.join(v, "vec_id").join(F.broadcast(q), "query_id").where(
-        F.col("vec_id") != F.col("query_id")
-    )
+    cand = short.join(v, "vec_id").join(F.broadcast(q), "query_id")
     if score_arrow:
         cos = cosine_udf()(F.col("v"), F.col("q"))
     else:

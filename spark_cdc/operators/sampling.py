@@ -83,6 +83,7 @@ def chunk_documents(
     overlap: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer=None,
 ) -> DataFrame:
     """Split documents into fixed-size token-window chunks — the
     context-window preparation step of a training pipeline: one row per
@@ -93,14 +94,41 @@ def chunk_documents(
     Pure JVM expressions (split → sequence of window starts →
     transform slices → posexplode): no UDF, no shuffle — a projection
     that scales with the scan and pushes column pruning through.
-    Deterministic whitespace tokenization matches
-    :func:`spark_cdc.functions.text.token_count`'s convention; swap in
-    a BPE pandas UDF upstream if model-exact boundaries are needed.
+
+    ``tokenizer``: optional ``Column -> Column`` producing
+    ``array<string>`` — the model-exact boundary hook. Pass an
+    Arrow-vectorized pandas_udf tokenizer (e.g.
+    :func:`spark_cdc.functions.text.toy_bpe_tokens`) and chunk/pack
+    budgets are counted in ITS tokens; slicing/exploding stays JVM.
+    Default (None) is deterministic whitespace tokenization matching
+    :func:`spark_cdc.functions.text.token_count`'s convention. An
+    empty or whitespace-only document yields zero chunks under either
+    tokenizer (phantom 1-token '' samples would otherwise leak into
+    packing).
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " ")
+    if tokenizer is None:
+        # array_remove('') doubles as the empty-document guard: split
+        # of a whitespace-only text yields [''] (size 1), which must
+        # produce zero chunks, not one phantom 1-token chunk
+        src = df
+        toks = F.array_remove(
+            F.split(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "),
+            "",
+        )
+    else:
+        # materialize the UDF's token array in its own projection: a
+        # Python UDF cannot appear inside a higher-order-function
+        # lambda (the F.transform slice below), and the separate
+        # ArrowEvalPython stage also evaluates the tokenizer ONCE per
+        # row instead of once per window reference
+        src = df.select(
+            F.col(id_col),
+            F.array_remove(tokenizer(F.col(text_col)), "").alias("_toks"),
+        )
+        toks = F.col("_toks")
     n = F.size(toks)
     n_chunks = F.greatest(
         F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int"),
@@ -109,7 +137,7 @@ def chunk_documents(
     starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
     chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_tokens))
     return (
-        df.select(
+        src.select(
             F.col(id_col),
             F.posexplode(chunks).alias("chunk_idx", "_chunk"),
         )
@@ -123,7 +151,55 @@ def chunk_documents(
     )
 
 
-PACKING_SCHEMA = "doc_id long, chunk_idx int, n_tokens int, pack_bucket int, pack_idx int"
+class _FirstFitBins:
+    """Leftmost-bin-that-fits lookup in O(log n): a flat-array segment
+    tree over bin remaining-capacities (max per segment), descended
+    left-first. Keeps classic first-fit-decreasing SEMANTICS (identical
+    assignments to the naive linear scan) while replacing its O(bins)
+    inner scan — a 10^6-chunk stopword bucket degraded quadratically
+    under the linear form."""
+
+    def __init__(self, capacity_hint: int = 1024):
+        self.size = 1
+        while self.size < max(capacity_hint, 1):
+            self.size *= 2
+        self.tree = [0] * (2 * self.size)
+        self.n = 0
+
+    def _set(self, i: int, val: int) -> None:
+        i += self.size
+        self.tree[i] = val
+        i //= 2
+        while i:
+            self.tree[i] = max(self.tree[2 * i], self.tree[2 * i + 1])
+            i //= 2
+
+    def remaining(self, b: int) -> int:
+        return self.tree[self.size + b]
+
+    def add_bin(self, remaining: int) -> int:
+        if self.n == self.size:
+            old = self.tree[self.size : self.size + self.n]
+            self.size *= 2
+            self.tree = [0] * (2 * self.size)
+            self.tree[self.size : self.size + len(old)] = old
+            for i in range(self.size - 1, 0, -1):
+                self.tree[i] = max(self.tree[2 * i], self.tree[2 * i + 1])
+        self._set(self.n, remaining)
+        self.n += 1
+        return self.n - 1
+
+    def find_first(self, need: int) -> int | None:
+        """Index of the LEFTMOST (oldest) bin with remaining ≥ need."""
+        if self.tree[1] < need:
+            return None
+        i = 1
+        while i < self.size:
+            i = 2 * i if self.tree[2 * i] >= need else 2 * i + 1
+        return i - self.size
+
+    def consume(self, b: int, t: int) -> None:
+        self._set(b, self.tree[self.size + b] - t)
 
 
 def pack_chunks(
@@ -152,6 +228,11 @@ def pack_chunks(
     should have chunked to ≤ max_tokens already). Returns one row per
     input chunk with its assignment — fully spillable; derive per-bin
     fill with a groupBy on (pack_bucket, pack_idx).
+
+    The in-bucket first-fit scan uses :class:`_FirstFitBins` — classic
+    FFD assignments, O(n log n) per bucket instead of O(n · bins).
+    Output schema mirrors the caller's actual ``id_col`` name and type
+    (string doc ids work); ``idx_col``/``tokens_col`` are cast to int.
     """
     import pandas as pd
 
@@ -162,25 +243,26 @@ def pack_chunks(
         pdf = pdf.sort_values(
             [tokens_col, id_col, idx_col], ascending=[False, True, True]
         ).reset_index(drop=True)
-        fills: list[int] = []
+        bins = _FirstFitBins(capacity_hint=max(len(pdf) // 8, 16))
         assign = []
         for t in pdf[tokens_col]:
             t = int(t)
-            placed = None
-            for b, used in enumerate(fills):
-                if used + t <= max_tokens:
-                    placed = b
-                    break
+            placed = bins.find_first(t)
             if placed is None:
-                placed = len(fills)
-                fills.append(0)
-            fills[placed] += t
+                placed = bins.add_bin(max(max_tokens - t, 0))
+            else:
+                bins.consume(placed, t)
             assign.append(placed)
         pdf["pack_idx"] = pd.Series(assign, dtype="int32")
         return pdf[[id_col, idx_col, tokens_col, "pack_bucket", "pack_idx"]]
 
+    id_type = dict(chunks.dtypes)[id_col]
+    schema = (
+        f"`{id_col}` {id_type}, `{idx_col}` int, `{tokens_col}` int, "
+        "pack_bucket int, pack_idx int"
+    )
     salted = chunks.select(
         F.col(id_col), F.col(idx_col).cast("int"), F.col(tokens_col).cast("int"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int").alias("pack_bucket"),
     )
-    return salted.groupBy("pack_bucket").applyInPandas(pack, PACKING_SCHEMA)
+    return salted.groupBy("pack_bucket").applyInPandas(pack, schema)

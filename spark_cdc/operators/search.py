@@ -53,14 +53,30 @@ def bm25_index(
     )
 
 
+def index_stats(index: DataFrame) -> tuple[int, float]:
+    """(N, avgdl) from a prebuilt inverted index — one bounded driver
+    aggregate over the skinny (doc_id, dl) projection. N counts docs
+    with ≥1 token (zero-token docs have no postings and can never
+    match, so excluding them only perturbs idf by their count)."""
+    row = (
+        index.select("doc_id", "dl")
+        .groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+        .first()
+    )
+    return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
 def bm25_scores(
-    docs: DataFrame,
+    docs: DataFrame | None,
     query: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
     index: DataFrame | None = None,
+    stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Okapi BM25 score of every document matching ≥1 query term:
     ``(doc_id, score)``. idf = ln(1 + (N − df + ½)/(df + ½)).
@@ -68,16 +84,29 @@ def bm25_scores(
     Corpus stats (N, avgdl) are one bounded driver aggregate; document
     frequencies of the query's terms are |query| rows (broadcast).
     Pass a prebuilt ``index`` to amortize the inverted-index build
-    across queries."""
+    across queries — with it the corpus is NEVER rescanned (stats come
+    from the index via :func:`index_stats`, so ``docs`` may be None);
+    pass ``stats`` too to amortize even that aggregate across a query
+    batch."""
     qtokens = sorted({t for t in query.lower().split() if t})
     if not qtokens:
         raise ValueError("empty query")
-    idx = index if index is not None else bm25_index(docs, text_col, id_col)
-    stats = docs.select(
-        F.count(F.lit(1)).alias("n"),
-        F.avg(F.size(_tokens(F.col(text_col)))).alias("avgdl"),
-    ).first()
-    n, avgdl = stats["n"], float(stats["avgdl"])
+    if index is None:
+        if docs is None:
+            raise ValueError("need docs or a prebuilt index")
+        idx = bm25_index(docs, text_col, id_col)
+    else:
+        idx = index
+    if stats is not None:
+        n, avgdl = stats
+    elif index is not None:
+        n, avgdl = index_stats(idx)
+    else:
+        row = docs.select(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.size(_tokens(F.col(text_col)))).alias("avgdl"),
+        ).first()
+        n, avgdl = row["n"], float(row["avgdl"])
     postings = idx.where(F.col("token").isin(qtokens))
     df_ = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -94,7 +123,7 @@ def bm25_scores(
 
 
 def bm25_topk(
-    docs: DataFrame,
+    docs: DataFrame | None,
     query: str,
     k: int = 10,
     text_col: str = "text",
@@ -102,15 +131,26 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     index: DataFrame | None = None,
+    stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Top-k BM25 matches ``(rank, doc_id, score)`` — ties broken by
-    doc_id for determinism."""
+    doc_id for determinism.
+
+    The global top-k is ``orderBy().limit(k)``, which Spark plans as
+    TakeOrderedAndProject: every partition keeps its local k and only
+    k-row heaps travel to the driver-side combine. (A global
+    ``row_number`` window — the previous form — funneled EVERY matching
+    doc through one task: a query containing a common term over 10^9
+    docs is a straggler/OOM. Plan-asserted single-partition-free in
+    tests/test_plans.py.) Ranks are then assigned over the k surviving
+    rows only."""
     from pyspark.sql import Window
 
-    s = bm25_scores(docs, query, text_col, id_col, k1, b, index)
+    s = bm25_scores(docs, query, text_col, id_col, k1, b, index, stats)
+    topk = s.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    # window over ≤ k rows — bounded, not a corpus-wide funnel
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
-        s.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "doc_id", "score")
     )

@@ -131,48 +131,42 @@ def p4_event_date(spark, sf_dir):
 
 
 @query(
-    "p6_tolerant_numeric",
+    "p_tolerant_parsers",
     """
     SELECT event_id,
            CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k_value,
-           CAST(regexp_replace('$' || CAST(event_id AS VARCHAR) || '.50', '[^0-9.\\-]', '', 'g') AS DOUBLE) AS parsed_amount
-    FROM events WHERE event_id < 500
-    """,
-)
-def p6_tolerant_numeric(spark, sf_dir):
-    """P6/P10: tolerant numeric parsing as column expressions
-    (reference processor.py:41-68 '$3.99' cases)."""
-    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 500)
-    messy = F.concat(F.lit("$"), F.col("event_id").cast("string"), F.lit(".50"))
-    return ev.select(
-        "event_id",
-        F.regexp_extract("props", r"[0-9]+", 0).cast("long").alias("k_value"),
-        parse_numeric_tolerant(messy).alias("parsed_amount"),
-    )
-
-
-@query(
-    "p7_polymorphic_timestamp",
-    """
-    SELECT event_id, date_trunc('second', ts) AS parsed_ts
+           CAST(regexp_replace('$' || CAST(event_id AS VARCHAR) || '.50', '[^0-9.\\-]', '', 'g') AS DOUBLE) AS parsed_amount,
+           date_trunc('second', ts) AS parsed_ts
     FROM events WHERE event_id < 1000
     """,
 )
-def p7_poly_ts(spark, sf_dir):
-    """P7: epoch-magnitude timestamp parsing (processor.py:70-141):
-    round-trips epoch micros / millis / seconds strings back to ts.
-    The oracle is the identity — the parse must reconstruct ts
-    (seconds-granularity events make all three encodings lossless)."""
+def p_tolerant_parsers(spark, sf_dir):
+    """P6/P10 tolerant numeric + P7 polymorphic timestamp parsing in
+    one entry (consolidated from the former ``p6_tolerant_numeric`` /
+    ``p7_polymorphic_timestamp`` rows so the whole registry fits the
+    driver's 50-entry correctness window — the ops are unchanged and
+    each column is still independently value-checked).
+
+    - numeric: column-expression parse of '$<id>.50'-style messy money
+      (reference processor.py:41-68 '$3.99' cases);
+    - timestamp: epoch-magnitude parse (processor.py:70-141) —
+      micros/millis/seconds string encodings rotate by row so all
+      magnitude branches execute; the oracle is the identity (the
+      parse must reconstruct seconds-truncated ts losslessly)."""
     ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 1000)
-    # rotate encodings by row so all magnitude branches execute
+    messy = F.concat(F.lit("$"), F.col("event_id").cast("string"), F.lit(".50"))
     enc = (
         F.when(F.pmod("event_id", F.lit(3)) == 0, F.unix_micros("ts").cast("string"))
         .when(F.pmod("event_id", F.lit(3)) == 1, F.unix_millis("ts").cast("string"))
         .otherwise(F.unix_seconds("ts").cast("string"))
     )
-    # truncate ts to seconds so every encoding is exact
     ev = ev.withColumn("ts", F.date_trunc("second", "ts"))
-    return ev.select("event_id", parse_timestamp_any(enc).alias("parsed_ts"))
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r"[0-9]+", 0).cast("long").alias("k_value"),
+        parse_numeric_tolerant(messy).alias("parsed_amount"),
+        parse_timestamp_any(enc).alias("parsed_ts"),
+    )
 
 
 # =====================================================================
@@ -227,30 +221,33 @@ def j2_left_join(spark, sf_dir):
 
 
 @query(
-    "j_semi_customers_with_orders",
+    "j_semi_anti_customers",
     """
-    SELECT c_custkey, c_name FROM customer c
+    SELECT c_custkey, c_name, 'with_orders' AS side FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def j_semi(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@query(
-    "j_anti_customers_without_orders",
-    """
-    SELECT c_custkey, c_name FROM customer c
+    UNION ALL
+    SELECT c_custkey, c_name, 'without_orders' AS side FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
-def j_anti(spark, sf_dir):
-    """Anti join — also the engine's MERGE-idempotence test shape."""
+def j_semi_anti(spark, sf_dir):
+    """left_semi + left_anti joins in one entry (consolidated from the
+    former ``j_semi_customers_with_orders`` / ``j_anti_customers_
+    without_orders`` rows for the driver's 50-entry window). Both join
+    types still execute and are independently value-checked via the
+    ``side`` discriminator; the anti join is also the engine's
+    MERGE-idempotence test shape."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", F.lit("with_orders").alias("side"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", F.lit("without_orders").alias("side"))
+    )
+    return semi.unionByName(anti)
 
 
 @query(
@@ -349,37 +346,79 @@ def a_cube(spark, sf_dir):
     "a1_distinct_users_per_type",
     """
     SELECT event_type, count(DISTINCT user_id) AS distinct_users,
-           count(*) AS n_events
+           count(*) AS n_events,
+           true AS approx_within_10pct,
+           true AS p50_in_band,
+           true AS p99_in_band
     FROM events GROUP BY 1
     """,
 )
 def a1_count_distinct(spark, sf_dir):
+    """A1 exact COUNT DISTINCT + the at-scale sketch variants in one
+    entry (consolidated from the former separate ``a_approx_distinct``
+    row for the driver's 50-entry window). Sketch values differ across
+    engines, so the oracle checks INVARIANTS the sketches must
+    satisfy: HLL estimate within 10% of the exact distinct count (rsd
+    default 5%), approx quantiles inside exact quantile bands —
+    recomputed as booleans the oracle pins to true. pytest
+    additionally bounds the raw sketch error."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("distinct_users"),
         F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id").alias("_approx"),
+        F.percentile_approx("value", 0.5).alias("_p50a"),
+        F.percentile_approx("value", 0.99).alias("_p99a"),
+        F.percentile("value", 0.45).alias("_p45"),
+        F.percentile("value", 0.55).alias("_p55"),
+        F.percentile("value", 0.98).alias("_p98"),
+        F.max("value").alias("_vmax"),
+    )
+    return agg.select(
+        "event_type",
+        "distinct_users",
+        "n_events",
+        (
+            F.abs(F.col("_approx") - F.col("distinct_users"))
+            <= F.lit(0.10) * F.col("distinct_users")
+        ).alias("approx_within_10pct"),
+        F.col("_p50a").between(F.col("_p45"), F.col("_p55")).alias("p50_in_band"),
+        F.col("_p99a").between(F.col("_p98"), F.col("_vmax")).alias("p99_in_band"),
     )
 
 
 @query(
-    "kpi_user_ctr",
+    "kpi_user_ctr_efficiency",
     """
     WITH imp AS (SELECT user_id, count(DISTINCT event_id) AS impressions
                  FROM events WHERE event_type = 'view' GROUP BY 1),
          clk AS (SELECT user_id, count(DISTINCT event_id) AS clicks
                  FROM events WHERE event_type = 'click' GROUP BY 1),
+         sp AS (SELECT user_id, sum(CASE WHEN event_type = 'purchase'
+                                    THEN value ELSE 0 END) AS spend
+                FROM events GROUP BY 1),
          u AS (SELECT DISTINCT user_id FROM events)
     SELECT u.user_id AS user_id,
            coalesce(imp.impressions, 0) AS impressions,
            coalesce(clk.clicks, 0) AS clicks,
            round(CASE WHEN coalesce(imp.impressions, 0) = 0 THEN NULL
-                 ELSE coalesce(clk.clicks, 0)::DOUBLE / imp.impressions END, 6) AS ctr
+                 ELSE coalesce(clk.clicks, 0)::DOUBLE / imp.impressions END, 6) AS ctr,
+           round(coalesce(sp.spend, 0), 2) AS spend,
+           round(CASE WHEN coalesce(clk.clicks, 0) = 0 THEN NULL
+                 ELSE coalesce(sp.spend, 0) / clk.clicks END, 6) AS cost_per_click
     FROM u LEFT JOIN imp USING (user_id) LEFT JOIN clk USING (user_id)
+           LEFT JOIN sp USING (user_id)
     """,
 )
 def kpi_user_ctr(spark, sf_dir):
-    """mv_campaign_ctr shape (kpi_views.sql:4-27) over events:
-    agg-then-join, ratio from summed counts, try_divide null semantics."""
+    """mv_campaign_ctr (kpi_views.sql:4-27) AND mv_campaign_efficiency
+    (kpi_views.sql:78-100) shapes over events, one entry (consolidated
+    from the former separate ``kpi_user_ctr`` / ``kpi_user_efficiency``
+    rows for the driver's 50-entry window — both views' formulas are
+    still independently value-checked as columns): agg-then-join,
+    ratio from summed counts, try_divide/NULLIF guarded-division null
+    semantics. The adtech-schema originals of all five reference KPI
+    views stay pinned by tests/test_kpi.py."""
     ev = _t(spark, sf_dir, "events")
     imp = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
         F.countDistinct("event_id").alias("impressions")
@@ -387,10 +426,16 @@ def kpi_user_ctr(spark, sf_dir):
     clk = ev.where(F.col("event_type") == "click").groupBy("user_id").agg(
         F.countDistinct("event_id").alias("clicks")
     )
+    sp = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0))
+        ).alias("spend")
+    )
     users = ev.select("user_id").distinct()
     return (
         users.join(imp, "user_id", "left")
         .join(clk, "user_id", "left")
+        .join(sp, "user_id", "left")
         .select(
             "user_id",
             F.coalesce("impressions", F.lit(0)).alias("impressions"),
@@ -398,6 +443,14 @@ def kpi_user_ctr(spark, sf_dir):
             F.round(
                 F.try_divide(F.coalesce("clicks", F.lit(0)), F.coalesce("impressions", F.lit(0))), 6
             ).alias("ctr"),
+            F.round(F.coalesce("spend", F.lit(0.0)), 2).alias("spend"),
+            F.round(
+                F.try_divide(
+                    F.coalesce("spend", F.lit(0.0)),
+                    F.nullif(F.coalesce("clicks", F.lit(0)), F.lit(0)),
+                ),
+                6,
+            ).alias("cost_per_click"),
         )
     )
 
@@ -472,38 +525,6 @@ def kpi_user_daily(spark, sf_dir):
         "impressions",
         F.coalesce("clicks", F.lit(0)).alias("clicks"),
         F.round(F.try_divide(F.coalesce("clicks", F.lit(0)), "impressions"), 6).alias("ctr"),
-    )
-
-
-@query(
-    "kpi_user_efficiency",
-    """
-    WITH s AS (
-      SELECT user_id,
-             count(DISTINCT CASE WHEN event_type = 'view' THEN event_id END) AS impressions,
-             count(DISTINCT CASE WHEN event_type = 'click' THEN event_id END) AS clicks,
-             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS spend
-      FROM events GROUP BY 1)
-    SELECT user_id, impressions, clicks, round(spend, 2) AS spend,
-           round(CASE WHEN clicks = 0 THEN NULL ELSE spend / clicks END, 6) AS cost_per_click
-    FROM s
-    """,
-)
-def kpi_efficiency(spark, sf_dir):
-    """mv_campaign_efficiency (kpi_views.sql:78-100): guarded division
-    A6 via NULLIF/try_divide."""
-    ev = _t(spark, sf_dir, "events")
-    s = ev.groupBy("user_id").agg(
-        F.countDistinct(F.when(F.col("event_type") == "view", F.col("event_id"))).alias("impressions"),
-        F.countDistinct(F.when(F.col("event_type") == "click", F.col("event_id"))).alias("clicks"),
-        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0))).alias("_spend"),
-    )
-    return s.select(
-        "user_id",
-        "impressions",
-        "clicks",
-        F.round("_spend", 2).alias("spend"),
-        F.round(F.try_divide(F.col("_spend"), F.nullif(F.col("clicks"), F.lit(0))), 6).alias("cost_per_click"),
     )
 
 
@@ -689,47 +710,6 @@ def pivot_counts(spark, sf_dir):
         .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
         .count()
         .na.fill(0, ["view", "click", "purchase", "signup", "error"])
-    )
-
-
-@query(
-    "a_approx_distinct",
-    """
-    SELECT event_type,
-           count(DISTINCT user_id) AS exact_users,
-           true AS approx_within_10pct,
-           true AS p50_in_band,
-           true AS p99_in_band
-    FROM events GROUP BY 1
-    """,
-)
-def approx_distinct(spark, sf_dir):
-    """At-scale variant of A1 (SURVEY §2.4): approx_count_distinct +
-    approximate quantiles. Sketch values differ across engines, so the
-    oracle checks INVARIANTS the sketches must satisfy: HLL estimate
-    within 10% of the exact distinct count (rsd default 5%), approx
-    quantiles inside exact quantile bands — recomputed as booleans the
-    oracle pins to true. pytest additionally bounds the raw error."""
-    ev = _t(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("user_id").alias("_approx"),
-        F.percentile_approx("value", 0.5).alias("_p50a"),
-        F.percentile_approx("value", 0.99).alias("_p99a"),
-        F.percentile("value", 0.45).alias("_p45"),
-        F.percentile("value", 0.55).alias("_p55"),
-        F.percentile("value", 0.98).alias("_p98"),
-        F.max("value").alias("_vmax"),
-    )
-    return agg.select(
-        "event_type",
-        "exact_users",
-        (
-            F.abs(F.col("_approx") - F.col("exact_users"))
-            <= F.lit(0.10) * F.col("exact_users")
-        ).alias("approx_within_10pct"),
-        F.col("_p50a").between(F.col("_p45"), F.col("_p55")).alias("p50_in_band"),
-        F.col("_p99a").between(F.col("_p98"), F.col("_vmax")).alias("p99_in_band"),
     )
 
 
@@ -1265,47 +1245,13 @@ def rollup_incremental(spark, sf_dir):
 # Text analysis / dedup family / ANN (training-data operators)
 # =====================================================================
 
-@query(
-    "text_token_count",
-    """
-    SELECT doc_id,
-           CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars
-    FROM documents
-    """,
-)
-def text_tokens(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars"),
-    )
-
-
-@query(
-    "text_quality_score",
-    """
-    SELECT doc_id,
-      round(
-        0.5 * (CASE WHEN length(text) > 0
-               THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
-               ELSE 0 END)
-      + 0.3 * least((CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE / 100.0, 1.0)
-      + 0.2 * (1.0 - least(abs((CASE WHEN length(text) > 0
-               THEN (length(text) - length(replace(text, ' ', '')))::DOUBLE / length(text)
-               ELSE 0 END) - 0.15) * 2, 1.0)), 6) AS quality
-    FROM documents
-    """,
-)
-def text_quality(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
-
-
-def _lang_oracle() -> str:
+def _text_profile_oracle() -> str:
+    """Combined oracle for all four text-analysis function families
+    (token/char counts, quality score, language ID, fingerprint) — one
+    entry, four independently value-checked column groups (consolidated
+    from the former ``text_token_count`` / ``text_quality_score`` /
+    ``text_lang_id`` / ``text_fingerprint`` rows for the driver's
+    50-entry window)."""
     from spark_cdc.functions.text import marker_pattern
 
     score_exprs = []
@@ -1324,68 +1270,82 @@ def _lang_oracle() -> str:
         case += f"WHEN s_{lang} = {best} THEN '{lang}' "
     case += "END"
     return f"""
-    SELECT doc_id, {case} AS lang_pred
+    SELECT doc_id,
+           CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           round(
+             0.5 * (CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+                    ELSE 0 END)
+           + 0.3 * least((CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE / 100.0, 1.0)
+           + 0.2 * (1.0 - least(abs((CASE WHEN length(text) > 0
+                    THEN (length(text) - length(replace(text, ' ', '')))::DOUBLE / length(text)
+                    ELSE 0 END) - 0.15) * 2, 1.0)), 6) AS quality,
+           {case} AS lang_pred,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
     FROM (SELECT doc_id, text, {', '.join(score_exprs)} FROM documents)
     """
 
 
-@query("text_lang_id", _lang_oracle())
-def text_lang(spark, sf_dir):
-    """Stopword-marker language ID; identical marker lexicon on the
-    oracle side (first matching language in sorted order wins)."""
+@query("text_profile", _text_profile_oracle())
+def text_profile(spark, sf_dir):
+    """All four text-analysis families over one scan: whitespace token
+    count + char count, the deterministic quality heuristic, stopword-
+    marker language ID (identical marker lexicon on the oracle side;
+    first matching language in sorted order wins) and the normalized
+    md5 fingerprint. One entry = one corpus scan computing four
+    independent column groups, each still value-checked by the oracle —
+    and the fused projection is the shape a real pipeline runs anyway
+    (one pass annotating documents, not four)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
 
 
 @query(
-    "text_fingerprint",
+    "dedup_exact_corpus",
     """
-    SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
-    FROM documents
+    SELECT doc_id, fp,
+           min(doc_id) OVER (PARTITION BY fp) AS keep_id,
+           count(*) OVER (PARTITION BY fp) AS n_docs,
+           doc_id = min(doc_id) OVER (PARTITION BY fp) AS kept
+    FROM (SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+          FROM documents)
     """,
 )
-def text_fp(spark, sf_dir):
+def dedup_exact_corpus(spark, sf_dir):
+    """Exact dedup membership rows AND the corpus keep decision in one
+    entry (consolidated from the former ``dedup_exact_groups`` /
+    ``dedup_corpus_exact`` rows for the driver's 50-entry window — and
+    strictly stronger: the old groups row was EMPTY at the driver's
+    sf0.01, this one value-checks every doc). Membership stays the
+    spillable ROW form (no per-group collect_list array; see
+    exact_duplicates); ``kept`` is exactly the decision dedup_corpus()
+    filters on (equality pinned by pytest)."""
+    from spark_cdc.functions.text import fingerprint as _fp
+
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
-
-
-@query(
-    "dedup_exact_groups",
-    """
-    SELECT doc_id, fp, keep_id, n_docs FROM (
-      SELECT doc_id,
-             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
-             min(doc_id) OVER (PARTITION BY
-               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep_id,
-             count(*) OVER (PARTITION BY
-               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_docs
-      FROM documents)
-    WHERE n_docs > 1
-    """,
-)
-def dedup_exact(spark, sf_dir):
-    """Membership-row form — spillable at any duplicate-group size
-    (no per-group collect_list array; see exact_duplicates)."""
-    d = _t(spark, sf_dir, "documents")
-    return dedup_ops.exact_duplicates(d)
-
-
-@query(
-    "dedup_corpus_exact",
-    """
-    SELECT doc_id FROM (
-      SELECT doc_id,
-             min(doc_id) OVER (PARTITION BY
-               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep
-      FROM documents)
-    WHERE doc_id = keep
-    """,
-)
-def dedup_corpus_exact(spark, sf_dir):
-    """End product of exact dedup: the corpus itself with every
-    duplicate-group member but the min-id keeper anti-joined away."""
-    d = _t(spark, sf_dir, "documents")
-    return dedup_ops.dedup_corpus(d, method="exact").select("doc_id")
+    groups = dedup_ops.exact_duplicates(d)  # dup-group members only
+    alldocs = d.select("doc_id", _fp(F.col("text")).alias("fp"))
+    keep = F.coalesce("keep_id", F.col("doc_id"))
+    return alldocs.join(
+        groups.select("doc_id", "keep_id", "n_docs"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "fp",
+        keep.alias("keep_id"),
+        F.coalesce("n_docs", F.lit(1)).cast("long").alias("n_docs"),
+        (F.col("doc_id") == keep).alias("kept"),
+    )
 
 
 # Exact all-pairs word-3-gram Jaccard ≥ 0.5 over documents — the
@@ -1486,27 +1446,19 @@ def dedup_simhash(spark, sf_dir):
 def dedup_groups(spark, sf_dir):
     """The actual dedup DECISION, not just pairs: near-dup pairs (LSH
     candidates → exact n-gram-Jaccard verify, recall 1.0 on this
-    corpus) are folded into connected components by iterative min-label
-    propagation — doc_id → keep_id (= smallest id in the component;
-    keep it, drop the rest). The oracle recomputes components with a
-    recursive transitive-closure CTE over the exact pair set — an
-    iterative Spark algorithm under a full value oracle."""
-    d = _t(spark, sf_dir, "documents")
-    cand = dedup_ops.minhash_lsh_candidates(d, num_hashes=32, bands=4).persist()
-    pairs = dedup_ops.ngram_jaccard_pairs(d, cand, n=3, threshold=0.5).persist()
-    return dedup_ops.duplicate_components(pairs)
+    corpus) are folded into connected components — doc_id → keep_id
+    (= smallest id in the component; keep it, drop the rest). The
+    oracle recomputes components with a recursive transitive-closure
+    CTE over the exact pair set — an iterative Spark algorithm under a
+    full value oracle.
 
-
-@query(
-    "dedup_groups_keep_decision_star",
-    ORACLES["dedup_groups_keep_decision"],
-)
-def dedup_groups_star(spark, sf_dir):
-    """The at-scale connected-components path (alternating big-star/
-    small-star, O(log n) rounds vs label propagation's O(diameter))
-    under the SAME recursive transitive-closure oracle — proving the
-    scale algorithm computes the identical keep decision, not just the
-    baseline."""
+    Runs the AT-SCALE algorithm (alternating big-star/small-star,
+    O(log n) rounds — Kiveris et al., SoCC'14); the min-label-
+    propagation baseline ``duplicate_components`` computes the
+    identical decision and is pinned equal under this same fixture by
+    tests/test_operators.py (the two entries were consolidated for the
+    driver's 50-entry window — the scale path is the one that keeps
+    the driver row)."""
     d = _t(spark, sf_dir, "documents")
     cand = dedup_ops.minhash_lsh_candidates(d, num_hashes=32, bands=4).persist()
     pairs = dedup_ops.ngram_jaccard_pairs(d, cand, n=3, threshold=0.5).persist()
@@ -1587,8 +1539,9 @@ def ann_lsh(spark, sf_dir):
     """
     WITH toks AS (
       SELECT doc_id,
-             regexp_split_to_array(
-               trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+             list_filter(regexp_split_to_array(
+               trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS t
       FROM documents
     ), ch AS (
       SELECT doc_id, unnest(list_transform(
@@ -1605,11 +1558,59 @@ def ann_lsh(spark, sf_dir):
 def chunk_docs(spark, sf_dir):
     """Context-window chunking (50-token windows, 10-token overlap) —
     pure JVM expression pipeline, full value oracle including the
-    reassembled chunk text."""
+    reassembled chunk text. Both sides filter empty tokens, so an
+    empty/whitespace-only document yields ZERO chunks (no phantom
+    1-token '' sample — round-4 advisory)."""
     from spark_cdc.operators.sampling import chunk_documents
 
     d = _t(spark, sf_dir, "documents")
     return chunk_documents(d, chunk_tokens=50, overlap=10)
+
+
+@query(
+    "chunk_documents_bpe",
+    """
+    WITH pieces AS (
+      SELECT doc_id,
+             flatten(list_transform(
+               list_filter(regexp_split_to_array(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                 w -> w <> ''),
+               w -> list_transform(
+                      range(0, CAST(ceil(len(w) / 4.0) AS BIGINT)),
+                      i -> w[i*4+1 : i*4+4]))) AS t
+      FROM documents
+    ), ch AS (
+      SELECT doc_id, unnest(list_transform(
+               range(0, greatest(CAST(ceil((len(t) - 10) / 40.0) AS BIGINT), 1)),
+               i -> struct_pack(ci := i, c := t[i*40+1 : i*40+50]))) AS s
+      FROM pieces
+    )
+    SELECT doc_id, CAST(s.ci AS INTEGER) AS chunk_idx,
+           array_to_string(s.c, ' ') AS chunk_text,
+           CAST(len(s.c) AS INTEGER) AS n_tokens
+    FROM ch WHERE len(s.c) > 0
+    """,
+)
+def chunk_docs_bpe(spark, sf_dir):
+    """Context-window chunking with the MODEL-EXACT tokenizer hook
+    engaged: chunk boundaries are counted in subword tokens produced by
+    an Arrow-vectorized pandas_udf tokenizer
+    (:func:`spark_cdc.functions.text.toy_bpe_tokens` — greedy
+    longest-match BPE inference over a toy vocab), not whitespace
+    words. With the default complete ≤4-char vocab, greedy
+    longest-match degenerates to fixed-width chopping, which is what
+    lets DuckDB reproduce the hook-engaged chunking value-for-value
+    (chunk text included); a LEARNED merge vocab exercises the same
+    hook under tests/test_sampling.py, where the packing capacity
+    invariants are pinned under it."""
+    from spark_cdc.functions.text import toy_bpe_tokens
+    from spark_cdc.operators.sampling import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        d, chunk_tokens=50, overlap=10, tokenizer=toy_bpe_tokens(max_piece=4)
+    )
 
 
 @query(
@@ -1680,6 +1681,121 @@ def text_bm25(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     s = bm25_scores(d, "spark merge window")
+    return s.select("doc_id", F.round("score", 6).alias("score"))
+
+
+@query(
+    "bm25_index_incremental",
+    """
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' spark merge extra'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id < 300 AND doc_id % 11 <> 0
+    ), toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM corpus
+    ), posting AS (
+      SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM toks
+    ), tf AS (
+      SELECT token, doc_id, dl, count(*) AS tf FROM posting
+      WHERE token <> '' GROUP BY 1, 2, 3
+    ), stats AS (
+      SELECT count(*)::DOUBLE AS n, avg(len(t))::DOUBLE AS avgdl FROM toks
+    ), q AS (
+      SELECT token, count(*) AS df FROM tf
+      WHERE token IN ('spark', 'merge', 'window') GROUP BY 1
+    )
+    SELECT doc_id, round(sum(
+             ln(1 + (stats.n - q.df + 0.5) / (q.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+           ), 6) AS score
+    FROM tf JOIN q USING (token), stats
+    GROUP BY doc_id
+    """,
+)
+def bm25_index_incr(spark, sf_dir):
+    """Feed-driven incremental index maintenance under the driver
+    oracle: a corpus LakeTable receives three change batches (insert
+    all, update every 7th doc's text, delete every 11th doc) and a
+    :class:`spark_cdc.operators.index_maint.MaintainedBM25Index`
+    follows its change feed — retracting each changed doc's OLD
+    postings from the pre-image and inserting the new ones, O(change
+    set) per poll, never rebuilding. The query is then scored purely
+    from the maintained postings (corpus never rescanned), and the
+    oracle recomputes BM25 from scratch over the FINAL corpus state —
+    so any stale, leaked or lost posting shifts a score and fails the
+    value hash. Maintained == rebuilt row equality is additionally
+    pinned by tests/test_index_maint.py."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.lake.feed import ChangeFeedConsumer
+    from spark_cdc.lake.table import LakeTable
+    from spark_cdc.operators.index_maint import (
+        BM25_INDEX_KEYS,
+        BM25_INDEX_SCHEMA,
+        MaintainedBM25Index,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    base = tempfile.mkdtemp(prefix="spark_cdc_contract_bm25idx_")
+    docs_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    docs_tbl = LakeTable.create(
+        spark, base + "/docs", docs_schema, key_columns=["doc_id"], num_buckets=8
+    )
+    idx_tbl = LakeTable.create(
+        spark, base + "/bm25", BM25_INDEX_SCHEMA,
+        key_columns=BM25_INDEX_KEYS, num_buckets=8,
+    )
+    maint = MaintainedBM25Index(
+        idx_tbl, ChangeFeedConsumer(docs_tbl, base + "/cursor")
+    )
+
+    def env(df, i, op):
+        return df.select(
+            F.col("doc_id").alias("lsn"),
+            F.lit(i).cast("long").alias("op_seq"),
+            F.lit(op).alias("op"),
+            "doc_id",
+            "text",
+            F.timestamp_seconds(F.lit(i)).alias("ts"),
+        )
+
+    b0 = env(d, 0, "c")
+    b1 = env(
+        d.where(F.col("doc_id") % 7 == 0).withColumn(
+            "text", F.concat("text", F.lit(" spark merge extra"))
+        ),
+        1,
+        "c",
+    )
+    b2 = env(
+        d.where(F.col("doc_id") % 11 == 0).select(
+            "doc_id", F.lit(None).cast("string").alias("text")
+        ),
+        2,
+        "d",
+    )
+    for i, b in enumerate((b0, b1, b2)):
+        apply_batch(docs_tbl, b, batch_id=i, collect_lineage=False, collect_stats=False)
+        maint.catch_up()
+    s = maint.scores("spark merge window")
     return s.select("doc_id", F.round("score", 6).alias("score"))
 
 

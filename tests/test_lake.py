@@ -255,8 +255,50 @@ def test_fsck_repairs_manifest_ahead_of_version(spark, tmp_path, capsys):
         CHANGE_SCHEMA)
     with pytest.raises(CommitConflictError):
         apply_batch(t, batch, batch_id=0, collect_lineage=False)
+    # age guard (round-4 advisory): a FRESH ahead-of-VERSION manifest is
+    # indistinguishable from a live in-flight commit — repair must
+    # refuse it and say so
+    assert main(["check", "--table", path, "--repair"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "repaired_manifests" not in out
+    assert any("in-flight" in w for w in out["warnings"])
+    # once demonstrably stale (mtime past the age bound) repair clears it
+    snap1 = _os.path.join(path, META_DIR, "snap-1.json")
+    import time as _time
+
+    past = _time.time() - 3600
+    _os.utime(snap1, (past, past))
     assert main(["check", "--table", path, "--repair"]) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["repaired_manifests"] == [1]
     apply_batch(t, batch, batch_id=0, collect_lineage=False)
     assert t.read().count() == 1
+
+
+def test_create_race_fresh_claim_conflicts_stale_reclaims(spark, tmp_path):
+    """Creation-path OCC (round-4 advisory): while a concurrent CREATE's
+    snap-0 claim is fresh and VERSION absent, a second CREATE must raise
+    CommitConflictError instead of truncating the claim (lost update);
+    once the orphan claim is stale (crashed CREATE), re-claim succeeds."""
+    import os as _os
+    import time as _time
+
+    import pytest
+
+    from spark_cdc.lake.table import META_DIR, VERSION_FILE, CommitConflictError
+
+    path = str(tmp_path / "t")
+    t = LakeTable.create(spark, path, PAYLOAD_SCHEMA,
+                         key_columns=["conv_id", "turn_idx"], num_buckets=2)
+    # rewind to the mid-CREATE state: snap-0 claimed, VERSION not yet written
+    _os.remove(_os.path.join(path, META_DIR, VERSION_FILE))
+    with pytest.raises(CommitConflictError, match="in flight"):
+        LakeTable.create(spark, path, PAYLOAD_SCHEMA,
+                         key_columns=["conv_id", "turn_idx"], num_buckets=2)
+    # crashed CREATE: the claim ages past the grace window -> re-claimable
+    snap0 = _os.path.join(path, META_DIR, "snap-0.json")
+    past = _time.time() - 120
+    _os.utime(snap0, (past, past))
+    t2 = LakeTable.create(spark, path, PAYLOAD_SCHEMA,
+                          key_columns=["conv_id", "turn_idx"], num_buckets=2)
+    assert t2.snapshot_id == 0 and t2.read().count() == 0

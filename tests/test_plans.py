@@ -45,9 +45,8 @@ def test_dedup_has_partial_combine_not_window(spark):
 def test_jvm_only_text_path_has_no_python(spark):
     # text quality/lang-id are pure column expressions: no
     # BatchEvalPython / ArrowEvalPython stages in the plan
-    for name in ("text_quality_score", "text_lang_id", "text_token_count"):
-        plan = _plan(spark, name)
-        assert "EvalPython" not in plan, (name, plan)
+    plan = _plan(spark, "text_profile")
+    assert "EvalPython" not in plan, plan
 
 
 def test_ann_lsh_plan_has_no_cartesian(spark):
