@@ -1,0 +1,229 @@
+"""Feed-driven incremental index maintenance: the maintained BM25
+postings / vector-code tables must equal a from-scratch rebuild after
+mixed insert/update/delete batches, stay exactly-once under redelivery,
+and serve queries without rescanning the corpus."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_cdc.cdc.apply import apply_batch
+from spark_cdc.lake.feed import ChangeFeedConsumer
+from spark_cdc.lake.table import LakeTable
+from spark_cdc.operators.index_maint import (
+    BM25_INDEX_KEYS,
+    BM25_INDEX_SCHEMA,
+    CODES_KEYS,
+    CODES_SCHEMA,
+    MaintainedBM25Index,
+    MaintainedVectorCodes,
+    bm25_postings_changes,
+)
+from spark_cdc.operators.search import bm25_index, bm25_scores
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def _env(spark, rows, i, op):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df.select(
+        F.col("doc_id").alias("lsn"),
+        F.lit(i).cast("long").alias("op_seq"),
+        F.lit(op).alias("op"),
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(i)).alias("ts"),
+    )
+
+
+def _mk_maintained(spark, base):
+    docs = LakeTable.create(
+        spark, os.path.join(base, "docs"), DOCS_SCHEMA,
+        key_columns=["doc_id"], num_buckets=4,
+    )
+    idx = LakeTable.create(
+        spark, os.path.join(base, "bm25"), BM25_INDEX_SCHEMA,
+        key_columns=BM25_INDEX_KEYS, num_buckets=4,
+    )
+    maint = MaintainedBM25Index(
+        idx, ChangeFeedConsumer(docs, os.path.join(base, "cursor"))
+    )
+    return docs, maint
+
+
+def _texts(n=50):
+    return [(i, f"alpha beta w{i} gamma " + "delta " * (i % 5)) for i in range(n)]
+
+
+def test_bm25_maintained_equals_rebuilt(spark, tmp_path):
+    """Insert-all, update-every-7th, delete-every-11th: the maintained
+    postings table must equal bm25_index() over the final corpus state,
+    row for row — a stale posting (missed retraction), a lost posting
+    (over-retraction) or a duplicate all fail the exceptAll."""
+    docs, maint = _mk_maintained(spark, str(tmp_path))
+    apply_batch(docs, _env(spark, _texts(), 0, "c"), batch_id=0,
+                collect_lineage=False)
+    assert maint.catch_up() == 1
+    apply_batch(
+        docs,
+        _env(spark, [(i, f"updated zeta w{i}") for i in range(0, 50, 7)], 1, "c"),
+        batch_id=1, collect_lineage=False,
+    )
+    apply_batch(
+        docs, _env(spark, [(i, None) for i in range(0, 50, 11)], 2, "d"),
+        batch_id=2, collect_lineage=False,
+    )
+    assert maint.catch_up() >= 1  # one poll covers both commits (net diff)
+    maintained = maint.read()
+    rebuilt = bm25_index(docs.read().select("doc_id", "text")).select(
+        "doc_id", "token", "tf", "dl"
+    )
+    assert maintained.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(maintained).count() == 0
+    # updated docs' OLD tokens are really gone
+    toks = {r["token"] for r in maintained.where(F.col("doc_id") == 7).collect()}
+    assert "zeta" in toks and "alpha" not in toks
+    # deleted docs have no postings at all
+    assert maintained.where(F.col("doc_id") == 11).count() == 0
+
+
+def test_bm25_maintained_scores_match_recompute(spark, tmp_path):
+    """scores() from the maintained index == bm25_scores over the final
+    corpus — and the maintained query path never touches the corpus."""
+    docs, maint = _mk_maintained(spark, str(tmp_path))
+    apply_batch(docs, _env(spark, _texts(), 0, "c"), batch_id=0,
+                collect_lineage=False)
+    apply_batch(
+        docs, _env(spark, [(i, None) for i in range(0, 50, 9)], 1, "d"),
+        batch_id=1, collect_lineage=False,
+    )
+    maint.catch_up()
+    got = {r["doc_id"]: round(r["score"], 9)
+           for r in maint.scores("alpha delta").collect()}
+    want = {r["doc_id"]: round(r["score"], 9)
+            for r in bm25_scores(docs.read().select("doc_id", "text"),
+                                 "alpha delta").collect()}
+    assert got == want
+    top = maint.topk("alpha delta", k=3).collect()
+    assert [r["rank"] for r in top] == [1, 2, 3]
+
+
+def test_bm25_maintenance_redelivery_is_noop(spark, tmp_path):
+    """Crash between index merge and cursor commit: the redelivered
+    poll re-merges the same diff under the same batch id — the batch-id
+    guard makes it a no-op (exactly-once end to end)."""
+    docs, maint = _mk_maintained(spark, str(tmp_path))
+    apply_batch(docs, _env(spark, _texts(20), 0, "c"), batch_id=0,
+                collect_lineage=False)
+    # poll + apply manually, "crash" before cursor commit
+    diff, to_snap = maint.consumer.poll(include_preimage=True)
+    changes = bm25_postings_changes(diff, to_snap)
+    apply_batch(maint.table, changes, batch_id=to_snap,
+                source_id=maint.source_id, collect_lineage=False,
+                collect_stats=False)
+    before = maint.table.snapshot_id
+    # recovery: normal poll loop redelivers the same diff
+    assert maint.catch_up() == 1
+    res_snapshot = maint.table.snapshot_id
+    assert res_snapshot == before  # merge skipped, no new snapshot
+    rebuilt = bm25_index(docs.read().select("doc_id", "text")).select(
+        "doc_id", "token", "tf", "dl"
+    )
+    assert maint.read().exceptAll(rebuilt).count() == 0
+
+
+def test_bm25_postings_changes_requires_preimage(spark):
+    diff = spark.createDataFrame(
+        [(1, "x", "insert")], "doc_id long, text string, _change_type string"
+    )
+    with pytest.raises(ValueError, match="include_preimage"):
+        bm25_postings_changes(diff, 1)
+
+
+def test_vector_codes_maintained_equals_reencode(spark, tmp_path):
+    """Changed vectors re-encoded with FROZEN quantizers == encoding
+    the final corpus wholesale with the same quantizers; deletes drop
+    code rows."""
+    from spark_cdc.operators.ann import train_ivf_centroids, train_pq_codebooks
+
+    dim, n = 16, 40
+    rng_free = [
+        (i, [float(((i * 31 + j * 7) % 13) - 6) / 6.0 for j in range(dim)])
+        for i in range(n)
+    ]
+    vecs_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    vt = LakeTable.create(
+        spark, str(tmp_path / "vecs"), vecs_schema,
+        key_columns=["vec_id"], num_buckets=4,
+    )
+    ct = LakeTable.create(
+        spark, str(tmp_path / "codes"), CODES_SCHEMA,
+        key_columns=CODES_KEYS, num_buckets=4,
+    )
+    base_df = spark.createDataFrame(
+        rng_free, "vec_id long, embedding array<double>"
+    )
+    centroids = train_ivf_centroids(base_df, dim, n_lists=4, seed=7, sample_size=n)
+    codebooks = train_pq_codebooks(base_df, dim, m=4, n_codes=8, seed=7, sample_size=n)
+    maint = MaintainedVectorCodes(
+        ct, ChangeFeedConsumer(vt, str(tmp_path / "vcursor")),
+        centroids, codebooks,
+    )
+
+    def venv(rows, i, op):
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        return df.select(
+            F.col("vec_id").alias("lsn"), F.lit(i).cast("long").alias("op_seq"),
+            F.lit(op).alias("op"), "vec_id", "embedding",
+            F.timestamp_seconds(F.lit(i)).alias("ts"),
+        )
+
+    apply_batch(vt, venv(rng_free, 0, "c"), batch_id=0, collect_lineage=False)
+    maint.catch_up()
+    # update 5 vectors (negate), delete 4
+    upd = [(i, [-x for x in v]) for i, v in rng_free if i % 8 == 0]
+    apply_batch(vt, venv(upd, 1, "c"), batch_id=1, collect_lineage=False)
+    apply_batch(
+        vt, venv([(i, None) for i in (3, 13, 23, 33)], 2, "d"),
+        batch_id=2, collect_lineage=False,
+    )
+    maint.catch_up()
+    got = {r["vec_id"]: (r["list_id"], tuple(r["codes"]))
+           for r in maint.read().collect()}
+    # wholesale re-encode of the final state with the same frozen quantizers
+    from spark_cdc.operators.index_maint import vector_codes_changes
+
+    final = vt.read().select("vec_id", "embedding").withColumn(
+        "_change_type", F.lit("insert")
+    )
+    want_df = vector_codes_changes(final, 99, centroids, codebooks)
+    want = {r["vec_id"]: (r["list_id"], tuple(r["codes"]))
+            for r in want_df.where(F.col("op") == "c")
+            .select("vec_id", "list_id", "codes").collect()}
+    assert got == want
+    assert 3 not in got and len(got) == len(rng_free) - 4
+    # updated vector's codes actually changed
+    orig = {r["vec_id"]: tuple(r["codes"]) for r in
+            vector_codes_changes(
+                spark.createDataFrame(rng_free, "vec_id long, embedding array<double>")
+                .withColumn("_change_type", F.lit("insert")),
+                1, centroids, codebooks,
+            ).select("vec_id", "codes").collect()}
+    changed = [i for i, _ in upd if got[i][1] != orig[i]]
+    assert changed, "negating vectors should change PQ codes"

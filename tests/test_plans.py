@@ -206,3 +206,39 @@ def test_decode_media_plan_no_shuffle(spark):
     dec = multimodal.decode_media(multimodal.generate_decodable_media_fixture(spark, 50))
     plan = dec._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bm25_topk_is_distributed_takeordered(spark):
+    """Round-4 finding #2: the BM25 top-k must plan as TakeOrdered
+    (per-partition local k + driver combine), NOT a global row_number
+    window that funnels every matching doc through one task. With a
+    prebuilt index, docs=None proves structurally that the corpus is
+    never rescanned on the query path."""
+    from pyspark.sql import functions as F
+
+    from spark_cdc.operators.search import bm25_index, bm25_topk, index_stats
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    idx = bm25_index(docs).cache()
+    try:
+        df = bm25_topk(None, "spark merge window", k=10, index=idx,
+                       stats=index_stats(idx))
+        rows = df.collect()
+        assert len(rows) == 10 and [r["rank"] for r in rows] == list(range(1, 11))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # AQE prints "Final Plan" then "Initial Plan"; assert on final
+        final = plan.split("== Initial Plan ==")[0]
+        assert "TakeOrderedAndProject" in final, plan
+        # the only Window is the rank assignment OVER the k survivors:
+        # it must be a PARENT of the TakeOrdered limit (printed above
+        # it), never below it scanning the corpus-wide score stream
+        assert final.index("Window") < final.index("TakeOrderedAndProject"), plan
+        assert final.count("Window") == 1, plan
+        # scores equal the docs-path form (stats from index vs corpus
+        # agree on this fixture: every doc has >= 1 token)
+        direct = {r["doc_id"]: round(r["score"], 9)
+                  for r in bm25_topk(docs, "spark merge window", k=10).collect()}
+        got = {r["doc_id"]: round(r["score"], 9) for r in rows}
+        assert got == direct
+    finally:
+        idx.unpersist()
