@@ -138,11 +138,15 @@ warm = LakeTable.create(spark, tempfile.mkdtemp(dir={work!r}) + "/w", PAYLOAD_SC
 apply_batch(warm, log.limit(5000), batch_id=0, mode=mode,
             collect_lineage=False, collect_stats=False)
 t0 = time.monotonic()
+batch_sec = []
 for i in range(batches):
+    tb = time.monotonic()
     b_lo, b_hi = lo + i * step, (hi if i == batches - 1 else lo + (i + 1) * step)
     apply_batch(tbl, log.where((F.col("lsn") >= b_lo) & (F.col("lsn") < b_hi)),
                 batch_id=i, mode=mode, collect_lineage=False, collect_stats=False)
+    batch_sec.append(round(time.monotonic() - tb, 2))
 print(json.dumps({{"events": n, "elapsed": time.monotonic() - t0,
+                   "batch_sec": batch_sec,
                    "rows": tbl.read().count()}}))
 """
 
@@ -169,6 +173,7 @@ def run_fleet(paths: list[str], mode: str, batches: int) -> dict:
         "apply_wall_sec": round(apply_wall, 3),
         "events_per_sec": round(events / apply_wall, 1),
         "per_worker_apply_sec": [round(s["elapsed"], 2) for s in stats],
+        "per_worker_batch_sec": [s.get("batch_sec") for s in stats],
     }
 
 

@@ -91,6 +91,30 @@ def main(argv: list[str] | None = None) -> int:
     p_feed.add_argument("--interval", type=float, default=5.0,
                         help="seconds between caught-up polls in --follow mode")
 
+    p_idx = sub.add_parser(
+        "index-follow",
+        help="keep a BM25 inverted index following its corpus lake "
+        "table via the change feed (retract old postings from the "
+        "pre-image + insert new per poll — O(change set), exactly-once; "
+        "auto full-rebuild if snapshot retention overtakes the cursor)",
+    )
+    p_idx.add_argument("--docs-table", required=True, help="corpus lake table root")
+    p_idx.add_argument("--index-table", required=True, help="postings lake table root")
+    p_idx.add_argument("--cursor", required=True, help="cursor file path")
+    p_idx.add_argument("--num-buckets", type=int, default=16)
+    p_idx.add_argument("--text-col", default="text")
+    p_idx.add_argument("--id-col", default="doc_id")
+    p_idx.add_argument(
+        "--follow", action="store_true",
+        help="keep polling after catch-up (service mode; SIGTERM/SIGINT "
+        "stop gracefully after the in-flight poll commits)",
+    )
+    p_idx.add_argument("--interval", type=float, default=5.0,
+                       help="seconds between caught-up polls in --follow mode")
+    p_idx.add_argument("--query", default=None,
+                       help="optionally print top-10 BM25 matches from the "
+                       "maintained index after catch-up")
+
     p_comp = sub.add_parser("compact", help="compact + expire snapshots")
     p_comp.add_argument("--table", required=True)
     p_comp.add_argument("--keep-snapshots", type=int, default=3)
@@ -208,6 +232,58 @@ def main(argv: list[str] | None = None) -> int:
             "cursor": consumer.position(),
             "rows": mirror.read().count(),
         }))
+        return 0
+
+    if args.cmd == "index-follow":
+        from spark_cdc.lake.feed import ChangeFeedConsumer
+        from spark_cdc.operators.index_maint import (
+            BM25_INDEX_KEYS,
+            BM25_INDEX_SCHEMA,
+            MaintainedBM25Index,
+            follow_index,
+        )
+
+        docs = LakeTable.load(spark, args.docs_table)
+        if LakeTable.exists(args.index_table):
+            idx_tbl = LakeTable.load(spark, args.index_table)
+        else:
+            idx_tbl = LakeTable.create(
+                spark, args.index_table, BM25_INDEX_SCHEMA,
+                key_columns=BM25_INDEX_KEYS, num_buckets=args.num_buckets,
+            )
+        maint = MaintainedBM25Index(
+            idx_tbl, ChangeFeedConsumer(docs, args.cursor),
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        if args.follow:
+            import signal
+            import threading
+
+            stop_requested: list[int] = []
+            if threading.current_thread() is threading.main_thread():
+                # flag-only handlers (same discipline as `stream
+                # --continuous`): the loop checks at iteration
+                # boundaries, so an in-flight poll commits before exit
+                signal.signal(signal.SIGTERM, lambda s, f: stop_requested.append(s))
+                signal.signal(signal.SIGINT, lambda s, f: stop_requested.append(s))
+            polls = follow_index(
+                maint, interval_sec=args.interval,
+                should_stop=lambda: bool(stop_requested),
+            )
+        else:
+            polls = follow_index(maint, interval_sec=0.0, max_idle_polls=1)
+        out = {
+            "polls": polls,
+            "cursor": maint.consumer.position(),
+            "postings": maint.read().count(),
+        }
+        if args.query:
+            out["topk"] = [
+                {"rank": r["rank"], "doc_id": r["doc_id"],
+                 "score": round(r["score"], 6)}
+                for r in maint.topk(args.query, k=10).collect()
+            ]
+        print(json.dumps(out))
         return 0
 
     def open_table(num_buckets: int) -> LakeTable:

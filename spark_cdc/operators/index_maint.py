@@ -161,6 +161,45 @@ class MaintainedBM25Index:
     def read(self) -> DataFrame:
         return self.table.read().select("doc_id", "token", "tf", "dl")
 
+    def rebuild(self) -> None:
+        """:class:`~spark_cdc.lake.feed.FeedExpiredError` recovery —
+        snapshot retention overtook the cursor, so the diff base is
+        gone. Full recompute keyed on the observed head snapshot (the
+        same discipline as ``IncrementalRollup.rebuild``): stale
+        ``(doc_id, token)`` keys are tombstoned, fresh postings
+        inserted, cursor committed to the head. O(corpus), which is
+        the price of letting retention lap a consumer — ``poll_apply``
+        stays O(change set) on the healthy path."""
+        self.consumer.table.refresh()
+        to_snap = self.consumer.table.snapshot_id
+        docs = self.consumer.table.read().select(
+            F.col(self.id_col), F.col(self.text_col)
+        )
+        fresh = bm25_index(docs, self.text_col, self.id_col)
+        stale = (
+            self.read()
+            .select("doc_id", "token")
+            .join(fresh.select("doc_id", "token"), ["doc_id", "token"], "left_anti")
+            .select(
+                "doc_id",
+                "token",
+                F.lit(None).cast("long").alias("tf"),
+                F.lit(None).cast("int").alias("dl"),
+            )
+        )
+        changes = _envelope(stale, to_snap, "d", 0).unionByName(
+            _envelope(fresh, to_snap, "c", 1)
+        )
+        apply_batch(
+            self.table,
+            changes,
+            batch_id=to_snap,
+            source_id=self.source_id,
+            collect_lineage=False,
+            collect_stats=False,
+        )
+        self.consumer.commit(to_snap)
+
     def scores(self, query: str, k1: float = 1.2, b: float = 0.75) -> DataFrame:
         idx = self.read()
         return bm25_scores(None, query, k1=k1, b=b, index=idx)
@@ -168,6 +207,53 @@ class MaintainedBM25Index:
     def topk(self, query: str, k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
         idx = self.read()
         return bm25_topk(None, query, k=k, k1=k1, b=b, index=idx, stats=index_stats(idx))
+
+
+def follow_index(
+    maint,
+    interval_sec: float = 5.0,
+    should_stop=None,
+    max_idle_polls: int | None = None,
+    auto_rebuild: bool = True,
+) -> int:
+    """Service loop keeping an index current with its corpus table —
+    the index twin of :func:`spark_cdc.lake.feed.follow`. ``maint`` is
+    any maintained index with ``poll_apply``/``rebuild``
+    (:class:`MaintainedBM25Index`, :class:`MaintainedVectorCodes` once
+    it grows a rebuild). ``should_stop()`` (flag set by a signal
+    handler) ends the loop at an iteration boundary after the in-flight
+    poll commits; ``max_idle_polls`` ends it after that many
+    consecutive caught-up polls (catch-up mode). ``auto_rebuild``
+    self-heals a retention-lapped cursor via ``maint.rebuild()``
+    instead of dying with a traceback mid-service. Returns applied
+    polls (a rebuild counts as one)."""
+    import time
+
+    from spark_cdc.lake.feed import FeedExpiredError
+
+    polls = 0
+    idle = 0
+    while True:
+        if should_stop is not None and should_stop():
+            break
+        try:
+            applied = maint.poll_apply()
+        except FeedExpiredError:
+            if not auto_rebuild:
+                raise
+            maint.rebuild()
+            polls += 1
+            idle = 0
+            continue
+        if applied:
+            polls += 1
+            idle = 0
+            continue
+        idle += 1
+        if max_idle_polls is not None and idle >= max_idle_polls:
+            break
+        time.sleep(interval_sec)
+    return polls
 
 
 def vector_codes_changes(
@@ -259,17 +345,24 @@ class MaintainedVectorCodes:
     def read(self) -> DataFrame:
         return self.table.read().select("vec_id", "list_id", "codes")
 
-    def rebuild(self, vectors: DataFrame, batch_id: int | None = None) -> None:
-        """Full re-encode of the current corpus with the frozen
-        quantizers (used after retraining them, or to bootstrap): one
-        insert batch replacing every key, plus tombstones for code rows
-        whose vectors vanished while the feed was expired."""
+    def rebuild(self, vectors: DataFrame | None = None,
+                batch_id: int | None = None) -> None:
+        """Full re-encode with the frozen quantizers (FeedExpired
+        recovery via :func:`follow_index`, post-retrain refresh, or
+        bootstrap): one insert batch replacing every key, plus
+        tombstones for code rows whose vectors vanished while the feed
+        was expired. ``vectors`` defaults to the corpus table's current
+        state."""
+        self.consumer.table.refresh()
+        to_snap = self.consumer.table.snapshot_id
+        if vectors is None:
+            vectors = self.consumer.table.read().select(
+                F.col(self.id_col), F.col(self.vec_col)
+            )
         fake_diff = vectors.select(
             F.col(self.id_col), F.col(self.vec_col),
             F.lit("insert").alias("_change_type"),
         )
-        self.consumer.table.refresh()
-        to_snap = self.consumer.table.snapshot_id
         gone = (
             self.read()
             .select("vec_id")

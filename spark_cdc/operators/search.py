@@ -22,8 +22,6 @@ sits fully under the DuckDB oracle (entry ``text_bm25_scores``).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

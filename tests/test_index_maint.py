@@ -227,3 +227,64 @@ def test_vector_codes_maintained_equals_reencode(spark, tmp_path):
             ).select("vec_id", "codes").collect()}
     changed = [i for i, _ in upd if got[i][1] != orig[i]]
     assert changed, "negating vectors should change PQ codes"
+
+
+def test_index_rebuild_after_feed_expiry(spark, tmp_path):
+    """Snapshot retention overtakes the index's cursor mid-lag:
+    follow_index(auto_rebuild=True) self-heals with a full recompute
+    keyed on the observed head (stale keys tombstoned), instead of
+    dying — and the result equals a from-scratch index."""
+    from spark_cdc.lake.maintenance import expire_snapshots
+    from spark_cdc.operators.index_maint import follow_index
+
+    docs, maint = _mk_maintained(spark, str(tmp_path))
+    apply_batch(docs, _env(spark, _texts(30), 0, "c"), batch_id=0,
+                collect_lineage=False)
+    maint.catch_up()  # index current at snapshot 1
+    # corpus moves on: update + delete, several commits
+    apply_batch(docs, _env(spark, [(i, f"fresh omega w{i}") for i in range(0, 30, 5)],
+                           1, "c"), batch_id=1, collect_lineage=False)
+    apply_batch(docs, _env(spark, [(i, None) for i in (2, 12)], 2, "d"),
+                batch_id=2, collect_lineage=False)
+    # retention laps the cursor (keep only the head snapshot)
+    expire_snapshots(docs, keep_last=1)
+    with pytest.raises(Exception):  # FeedExpiredError surfaces without auto_rebuild
+        follow_index(maint, max_idle_polls=1, auto_rebuild=False)
+    polls = follow_index(maint, interval_sec=0.0, max_idle_polls=1)
+    assert polls >= 1
+    rebuilt = bm25_index(docs.read().select("doc_id", "text")).select(
+        "doc_id", "token", "tf", "dl"
+    )
+    assert maint.read().exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(maint.read()).count() == 0
+    assert maint.consumer.position() == docs.snapshot_id
+
+
+def test_index_follow_cli(spark, tmp_path, capsys):
+    """`python -m spark_cdc index-follow` catch-up mode: creates the
+    index table, drains the feed, serves a query from the maintained
+    postings; a second invocation after new commits applies only the
+    increment."""
+    import json as _json
+
+    from spark_cdc.__main__ import main
+
+    docs, _ = _mk_maintained(spark, str(tmp_path))
+    apply_batch(docs, _env(spark, _texts(25), 0, "c"), batch_id=0,
+                collect_lineage=False)
+    idx_path = str(tmp_path / "cli_idx")
+    cursor = str(tmp_path / "cli_cursor")
+    argv = ["index-follow", "--docs-table", docs.path,
+            "--index-table", idx_path, "--cursor", cursor,
+            "--num-buckets", "4", "--query", "alpha"]
+    assert main(argv) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["polls"] == 1 and out["postings"] > 0
+    assert out["topk"] and out["topk"][0]["rank"] == 1
+    # incremental second pass
+    apply_batch(docs, _env(spark, [(99, "alpha alpha alpha")], 1, "c"),
+                batch_id=1, collect_lineage=False)
+    assert main(argv) == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["polls"] == 1 and out2["postings"] == out["postings"] + 1
+    assert out2["topk"][0]["doc_id"] == 99  # tf=3 short doc dominates 'alpha'
