@@ -161,6 +161,71 @@ def toy_bpe_tokens(max_piece: int = 4, vocab: frozenset[str] | None = None):
     return lambda c: _tok(c)
 
 
+def learn_bpe_vocab(
+    docs,
+    text_col: str = "text",
+    n_merges: int = 200,
+    sample_size: int = 10_000,
+    max_piece: int = 8,
+) -> frozenset[str]:
+    """Learn a subword vocab from the corpus with classic BPE merge
+    training, driver-side over a bounded hash-ordered sample — the same
+    deterministic bounded-collect discipline as
+    :func:`spark_cdc.operators.ann.train_pq_codebooks` (no RNG, replay-
+    stable, O(sample) driver memory at any corpus size).
+
+    Training: start from characters, repeatedly merge the most frequent
+    adjacent symbol pair (ties broken lexicographically) ``n_merges``
+    times over the sample's word-frequency table. Returns the resulting
+    piece inventory (every surviving symbol of length ≤ ``max_piece``)
+    for :func:`toy_bpe_tokens`'s greedy longest-match INFERENCE —
+    WordPiece-style inference over BPE-learned merges, the common
+    production pairing. Single characters always remain in-vocab via
+    the tokenizer's fallback."""
+    from collections import Counter
+
+    rows = (
+        docs.select(F.lower(F.col(text_col)).alias("t"))
+        .where(F.col(text_col).isNotNull())
+        .orderBy(F.xxhash64(F.col(text_col)))
+        .limit(sample_size)
+        .collect()
+    )
+    word_freq: Counter = Counter()
+    for r in rows:
+        for w in r["t"].split():
+            if w:
+                word_freq[w] += 1
+    # symbol sequences per distinct word
+    seqs: dict[tuple[str, ...], int] = {tuple(w): f for w, f in word_freq.items()}
+    vocab: set[str] = set()
+    for _ in range(n_merges):
+        pair_freq: Counter = Counter()
+        for seq, f in seqs.items():
+            for a, b in zip(seq, seq[1:]):
+                if len(a) + len(b) <= max_piece:
+                    pair_freq[(a, b)] += f
+        if not pair_freq:
+            break
+        best = max(pair_freq.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merged = best[0] + best[1]
+        vocab.add(merged)
+        new_seqs: dict[tuple[str, ...], int] = {}
+        for seq, f in seqs.items():
+            out: list[str] = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and (seq[i], seq[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs[tuple(out)] = new_seqs.get(tuple(out), 0) + f
+        seqs = new_seqs
+    return frozenset(vocab)
+
+
 def fingerprint(c: Column) -> Column:
     """Document fingerprint: md5 of the normalized (collapsed
     whitespace, lower-cased) text — stable across engines, used as the

@@ -256,6 +256,101 @@ def follow_index(
     return polls
 
 
+class MaintainedProjection:
+    """Generic CDC-live derived table: any deterministic ROW-WISE keyed
+    projection of a corpus table (one output row per input key), kept
+    current through the change feed — upserted keys re-projected,
+    deleted keys tombstoned. MinHash signature tables, text-profile
+    annotation tables and feature stores are all this shape; the
+    PQ/IVF code table (:class:`MaintainedVectorCodes`) is the same
+    pattern with frozen-quantizer state, and only the postings index
+    (:class:`MaintainedBM25Index`) needs the stronger pre-image
+    retraction because its key set EXPANDS per doc.
+
+    ``project(df) -> DataFrame`` must map rows of the corpus's user
+    columns to rows keyed by the same ``id_col`` (carrying it through
+    unchanged) whose remaining columns match the target table's user
+    schema minus ``ts``.
+    """
+
+    def __init__(
+        self,
+        proj_table: LakeTable,
+        consumer: ChangeFeedConsumer,
+        project,
+        id_col: str = "doc_id",
+        source_id: str = "proj_maint",
+    ):
+        self.table = proj_table
+        self.consumer = consumer
+        self.project = project
+        self.id_col = id_col
+        self.source_id = source_id
+
+    def _changes(self, diff: DataFrame, ordinal: int) -> DataFrame:
+        up = diff.where(F.col("_change_type").isin("insert", "update_postimage"))
+        projected = self.project(up.drop("_change_type"))
+        pay = [c for c in projected.columns if c != self.id_col]
+        dels = diff.where(F.col("_change_type") == "delete").select(
+            F.col(self.id_col),
+            *[F.lit(None).cast(projected.schema[c].dataType).alias(c) for c in pay],
+        )
+        return _envelope(projected, ordinal, "c", 1).unionByName(
+            _envelope(dels, ordinal, "d", 0)
+        )
+
+    def poll_apply(self) -> bool:
+        got = self.consumer.poll()
+        if got is None:
+            return False
+        diff, to_snap = got
+        apply_batch(
+            self.table,
+            self._changes(diff, to_snap),
+            batch_id=to_snap,
+            source_id=self.source_id,
+            collect_lineage=False,
+            collect_stats=False,
+        )
+        self.consumer.commit(to_snap)
+        return True
+
+    def catch_up(self) -> int:
+        n = 0
+        while self.poll_apply():
+            n += 1
+        return n
+
+    def read(self) -> DataFrame:
+        drop = [c for c in ("ts",) if c in self.table.user_schema.names]
+        return self.table.read().drop(*drop)
+
+    def rebuild(self) -> None:
+        """FeedExpired recovery / bootstrap: re-project the full corpus
+        keyed on the observed head, tombstoning keys that vanished."""
+        self.consumer.table.refresh()
+        to_snap = self.consumer.table.snapshot_id
+        full = self.consumer.table.read().withColumn(
+            "_change_type", F.lit("insert")
+        )
+        gone = (
+            self.read()
+            .select(self.id_col)
+            .join(full.select(self.id_col), self.id_col, "left_anti")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        # null-fill the corpus payload columns the tombstones lack
+        for c in full.columns:
+            if c not in gone.columns:
+                gone = gone.withColumn(c, F.lit(None).cast(full.schema[c].dataType))
+        changes = self._changes(full.unionByName(gone.select(full.columns)), to_snap)
+        apply_batch(
+            self.table, changes, batch_id=to_snap, source_id=self.source_id,
+            collect_lineage=False, collect_stats=False,
+        )
+        self.consumer.commit(to_snap)
+
+
 def vector_codes_changes(
     diff: DataFrame,
     ordinal: int,

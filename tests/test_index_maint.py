@@ -288,3 +288,60 @@ def test_index_follow_cli(spark, tmp_path, capsys):
     out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["polls"] == 1 and out2["postings"] == out["postings"] + 1
     assert out2["topk"][0]["doc_id"] == 99  # tf=3 short doc dominates 'alpha'
+
+
+def test_maintained_projection_minhash_signatures(spark, tmp_path):
+    """MaintainedProjection keeps a keyed row-wise derived table (here:
+    the MinHash signature table LSH dedup candidates read) current
+    under insert/update/delete — maintained == re-projecting the final
+    corpus; rebuild() self-heals after retention laps the cursor."""
+    from spark_cdc.lake.maintenance import expire_snapshots
+    from spark_cdc.operators.dedup_ops import text_minhash_np
+    from spark_cdc.operators.index_maint import MaintainedProjection, follow_index
+
+    sig_udf = text_minhash_np(num_hashes=8, shingle_k=4)
+
+    def project(df):
+        return df.select("doc_id", sig_udf(F.col("text")).alias("sig"))
+
+    docs = LakeTable.create(
+        spark, str(tmp_path / "docs"), DOCS_SCHEMA,
+        key_columns=["doc_id"], num_buckets=4,
+    )
+    sig_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sig", T.ArrayType(T.LongType()), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ])
+    st = LakeTable.create(
+        spark, str(tmp_path / "sigs"), sig_schema,
+        key_columns=["doc_id"], num_buckets=4,
+    )
+    maint = MaintainedProjection(
+        st, ChangeFeedConsumer(docs, str(tmp_path / "cursor")), project
+    )
+    apply_batch(docs, _env(spark, _texts(30), 0, "c"), batch_id=0,
+                collect_lineage=False)
+    maint.catch_up()
+    apply_batch(docs, _env(spark, [(i, f"totally new text {i}") for i in (3, 9)],
+                           1, "c"), batch_id=1, collect_lineage=False)
+    apply_batch(docs, _env(spark, [(i, None) for i in (5, 15)], 2, "d"),
+                batch_id=2, collect_lineage=False)
+    maint.catch_up()
+
+    def as_map(df):
+        return {r["doc_id"]: tuple(r["sig"]) for r in df.collect()}
+
+    want = as_map(project(docs.read().select("doc_id", "text")))
+    assert as_map(maint.read()) == want
+    assert 5 not in as_map(maint.read())
+    # expiry self-heal through the shared service loop
+    apply_batch(docs, _env(spark, [(60, "late arrival doc")], 3, "c"),
+                batch_id=3, collect_lineage=False)
+    apply_batch(docs, _env(spark, [(i, None) for i in (1,)], 4, "d"),
+                batch_id=4, collect_lineage=False)
+    expire_snapshots(docs, keep_last=1)
+    polls = follow_index(maint, interval_sec=0.0, max_idle_polls=1)
+    assert polls >= 1
+    want2 = as_map(project(docs.read().select("doc_id", "text")))
+    assert as_map(maint.read()) == want2 and 60 in want2 and 1 not in want2

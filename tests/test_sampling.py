@@ -209,3 +209,35 @@ def test_pack_chunks_single_hot_bucket_spark(spark):
     bins = packed.groupBy("pack_idx").agg(F.sum("n_tokens").alias("fill"))
     assert packed.count() == n
     assert bins.where(F.col("fill") > 2048).count() == 0
+
+
+def test_learn_bpe_vocab_and_chunk_end_to_end(spark):
+    """BPE merge training over a corpus sample -> greedy longest-match
+    tokenization with the learned vocab -> chunking/packing under it.
+    Deterministic: same sample, same merges, same vocab."""
+    from spark_cdc.functions.text import learn_bpe_vocab
+
+    docs = spark.createDataFrame(
+        [(i, "the theme there " + " ".join(f"token{j}" for j in range(i % 7 + 2)))
+         for i in range(80)],
+        "doc_id long, text string",
+    )
+    vocab = learn_bpe_vocab(docs, n_merges=50, sample_size=80, max_piece=6)
+    assert vocab == learn_bpe_vocab(docs, n_merges=50, sample_size=80, max_piece=6)
+    # 'th'/'the' class merges must emerge from this corpus
+    assert any(p.startswith("th") for p in vocab), sorted(vocab)[:20]
+    tok = toy_bpe_tokens(6, vocab)
+    got = docs.select("doc_id", tok(F.col("text")).alias("toks")).collect()
+    joined = {r["doc_id"]: r["toks"] for r in got}
+    # round-trip: concatenating a word's pieces reproduces the word
+    for r in docs.collect():
+        pieces = _ref_toy_bpe(r["text"], 6, vocab)
+        assert "".join(pieces) == r["text"].lower().replace(" ", "")
+        assert joined[r["doc_id"]] == pieces
+    # chunk budgets counted in learned-vocab tokens, packing invariants hold
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4, tokenizer=tok)
+    packed = pack_chunks(chunks, max_tokens=32, n_buckets=2)
+    bins = packed.groupBy("pack_bucket", "pack_idx").agg(
+        F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("members"))
+    assert bins.where((F.col("fill") > 32) & (F.col("members") > 1)).count() == 0
+    assert packed.count() == chunks.count()
