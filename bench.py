@@ -424,27 +424,31 @@ def run_ann_d768(spark, sf: float) -> dict[str, float]:
         best = min(best, time.monotonic() - t0)
     out["ann_topk_lsh_d768"] = round(best, 3)
 
-    # IVF+PQ at the same corpus: frozen quantizers trained once
-    # (reported as *_train_sec), then the serving-path query timed
-    # best-of-2 with centroids/codebooks passed in — the memory-bound
-    # tier whose scan is m·int16 codes (~380× smaller than raw d768)
+    # IVF+PQ at the same corpus, measured the way a serving tier runs
+    # it: quantizer training + corpus encoding + partitioned codes
+    # layout are the ONE-TIME index build (reported as
+    # *_index_build_sec); the per-query number probes the prebuilt
+    # codes index (PartitionFilters prune to nprobe dirs, ADC over
+    # m·int16 codes — ~130× smaller scan than raw d768 — then exact
+    # re-rank of the shortlist from the raw table)
     t0 = time.monotonic()
     centroids = ann.train_ivf_centroids(vecs, dim, n_lists=64, seed=42,
                                         sample_size=10_000)
     codebooks = ann.train_pq_codebooks(vecs, dim, m=48, n_codes=256, seed=42,
                                        sample_size=10_000)
-    out["ann_ivfpq_d768_train_sec"] = round(time.monotonic() - t0, 3)
-    ann.ann_topk_ivfpq(
-        vecs.limit(2000), queries.limit(2), dim=dim, k=5, n_lists=64, nprobe=8,
-        m=48, n_codes=256, shortlist=200, centroids=centroids, codebooks=codebooks,
+    idx_path = os.path.join(base, f"spark_cdc_bench_ivfpq_{n}x{dim}")
+    ann.ivfpq_write_partitioned(vecs, idx_path, centroids, codebooks)
+    out["ann_ivfpq_d768_index_build_sec"] = round(time.monotonic() - t0, 3)
+    ann.ann_topk_ivfpq_partitioned(
+        spark, idx_path, vecs, queries.limit(2), centroids, codebooks,
+        k=5, nprobe=8, shortlist=200,
     ).collect()
     best = float("inf")
     for _ in range(2):
         t0 = time.monotonic()
-        ann.ann_topk_ivfpq(
-            vecs, queries, dim=dim, k=5, n_lists=64, nprobe=8,
-            m=48, n_codes=256, shortlist=200,
-            centroids=centroids, codebooks=codebooks,
+        ann.ann_topk_ivfpq_partitioned(
+            spark, idx_path, vecs, queries, centroids, codebooks,
+            k=5, nprobe=8, shortlist=200,
         ).collect()
         best = min(best, time.monotonic() - t0)
     out["ann_topk_ivfpq_d768"] = round(best, 3)
