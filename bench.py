@@ -455,6 +455,91 @@ def run_ann_d768(spark, sf: float) -> dict[str, float]:
     return out
 
 
+def run_dedup_scale(spark) -> dict[str, float]:
+    """Corpus-scale dedup benchmark: MinHash-LSH near-dup candidates →
+    exact Jaccard verify over a 100k-doc synthetic corpus with planted
+    near-dups (1 per 500 docs), and the exact-fingerprint membership
+    pass at 10^6 rows — the measured counterpart of the dedup family's
+    plan-level scale arguments (banded equi-join, no cartesian;
+    spillable membership rows, no collect_list). Fixture is
+    deterministic (hash-derived word salad), materialized once on
+    tmpfs outside the timed windows; production band settings (8
+    rows/band), not the correctness-gate settings."""
+    from pyspark.sql import functions as F
+
+    from spark_cdc.operators import dedup_ops
+
+    spark.catalog.clearCache()
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    n = 100_000
+    path = os.path.join(base, f"spark_cdc_bench_docs_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        # ~60-word docs from a 4096-word hash-derived vocabulary; every
+        # 500th doc is a near-dup of its predecessor (one word edited)
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(59)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("src_id") * 67 + i * 7919), F.lit(4096)),
+            ),
+        )
+        docs = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(
+                    (F.pmod("id", F.lit(500)) == 1) & (F.col("id") > 0),
+                    F.col("id") - 1,
+                ).otherwise(F.col("id")).alias("src_id"),
+                F.pmod("id", F.lit(500)).alias("_m"),
+            )
+            .select(
+                "doc_id",
+                F.concat(
+                    F.array_join(words, " "),
+                    F.when(F.col("_m") == 1, F.lit(" edited")).otherwise(F.lit("")),
+                ).alias("text"),
+            )
+        )
+        docs.repartition(32).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    out: dict[str, float] = {}
+    # warm the Arrow signature shape on a slice
+    dedup_ops.minhash_lsh_candidates(docs.limit(2000), num_hashes=64, bands=8).count()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        cand = dedup_ops.minhash_lsh_candidates(
+            docs, num_hashes=64, bands=8
+        ).persist()
+        pairs = dedup_ops.ngram_jaccard_pairs(docs, cand, n=3, threshold=0.5)
+        n_pairs = pairs.count()
+        cand.unpersist()
+        best = min(best, time.monotonic() - t0)
+    # planted pairs must be found (≈ n/500); fail loudly if recall broke
+    assert n_pairs >= n // 500 - 5, f"planted near-dups missed: {n_pairs}"
+    out["dedup_minhash_100k"] = round(best, 3)
+
+    m = 1_000_000
+    big = spark.range(m).select(
+        F.col("id").alias("doc_id"),
+        # 10% exact duplicates: every 10th row repeats the previous text
+        F.concat(
+            F.lit("doc body "),
+            F.when(F.pmod("id", F.lit(10)) == 9, F.col("id") - 1)
+            .otherwise(F.col("id")).cast("string"),
+        ).alias("text"),
+    )
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        dedup_ops.exact_duplicates(big).count()
+        best = min(best, time.monotonic() - t0)
+    out["dedup_exact_1m"] = round(best, 3)
+    return out
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from spark_cdc.plans import QUERIES
 
@@ -478,6 +563,9 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     with StealWindow() as sw:
         out.update(run_ann_d768(spark, sf_of(sf_dir)))
     steals["ann_d768_window"] = sw.steal_ratio
+    with StealWindow() as sw:
+        out.update(run_dedup_scale(spark))
+    steals["dedup_scale_window"] = sw.steal_ratio
     return out, steals
 
 
