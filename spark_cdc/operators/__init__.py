@@ -2,9 +2,21 @@
 
 - kpi: the reference's five materialized KPI views (SURVEY.md §2.6)
   re-expressed as recompute-on-read Spark plans
+- rollup: incremental additive rollups (SummingMergeTree analogue,
+  exactly-once apply/rebuild into a lake table)
+- ivm: exact incremental view maintenance under update/delete
+  (signed retraction rows from the change feed's pre/post images)
 - dedup_ops: exact / MinHash-LSH / SimHash / n-gram-Jaccard /
-  embedding-cosine near-duplicate detection
-- ann: brute-force + LSH-bucketed approximate nearest neighbours
-- multimodal: binary-column decode/feature plumbing (decode stubbed —
-  codec libs absent in this environment)
+  embedding-cosine near-duplicate detection, connected-components
+  keep decision, corpus dedup, eval-set decontamination
+- ann: brute-force, hyperplane-LSH, IVF, PQ and composed IVF+PQ
+  nearest-neighbour search, plus partitioned codes-only serving
+  layouts
+- search: BM25 lexical retrieval over an inverted-index DataFrame
+- index_maint: feed-driven incremental maintenance of BM25 postings,
+  IVF/PQ code tables and generic keyed projections (CDC-live indexes)
+- sampling: deterministic hash splits, context-window chunking (with
+  a model-exact tokenizer hook) and greedy sample packing
+- multimodal: binary-column plumbing with REAL pure-numpy codecs
+  (PPM/PGM images, PCM-16 WAV; per-row decode_error isolation)
 """
