@@ -303,8 +303,40 @@ def minhash_lsh_candidates(
     same LSH structure, different hash family, so candidate sets may
     differ slightly; both are valid LSH instances.
     """
-    rows = num_hashes // bands
     df = _ensure_parallel(df)
+    banded = _explode_buckets(
+        minhash_band_buckets(
+            df, id_col, text_col, num_hashes, bands, shingle_k, use_arrow
+        ),
+        id_col,
+    )
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bucket"])
+        .where(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """ONE row per doc: the banded LSH bucket keys as a fixed-arity
+    array (band index = array position) — the maintainable/servable
+    form of the LSH index. Because it is a keyed ROW-WISE projection of
+    the corpus, :class:`spark_cdc.operators.index_maint.
+    MaintainedProjection` keeps it current under the change feed, and
+    :func:`incremental_lsh_candidates` probes it with only a NEW
+    batch's bands — re-crawl dedup without re-running all-pairs."""
+    rows = num_hashes // bands
     if use_arrow:
         norm = F.lower(normalize_text_expr(F.col(text_col)))
         sig = df.select(
@@ -316,30 +348,77 @@ def minhash_lsh_candidates(
             F.col(id_col).alias("_id"),
             shingle_hashes(char_shingles(F.col(text_col), shingle_k)).alias("hb"),
         ).select("_id", minhash_signature(F.col("hb"), num_hashes).alias("sig"))
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
+    buckets = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                )
             )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
-    pairs = (
-        banded.alias("l")
-        .join(banded.alias("r"), ["band", "bucket"])
-        .where(F.col("l._id") < F.col("r._id"))
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .distinct()
+            for b in range(bands)
+        ]
     )
-    return pairs
+    return sig.select(F.col("_id").alias(id_col), buckets.alias("buckets"))
+
+
+def _explode_buckets(bb: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    return bb.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode("buckets").alias("band", "bucket"),
+    )
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    bucket_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    use_arrow: bool = True,
+    include_new_pairs: bool = True,
+) -> DataFrame:
+    """Near-dup candidate pairs between a NEW document batch and an
+    already-indexed corpus — the asymmetric shape a re-crawling
+    pipeline needs: only the new batch is signed and its skinny
+    (id, band, bucket) rows equi-join the maintained
+    :func:`minhash_band_buckets` index, so cost is O(new batch +
+    collisions) and the corpus is NEVER re-signed or re-paired.
+
+    Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``, covering
+    new×indexed collisions and (with ``include_new_pairs``) new×new
+    collisions; pairs wholly inside the index are not produced — they
+    were found when those docs were the new batch. Band parameters
+    MUST match the ones the index was built with (same hash family,
+    same band hash). Restricted to pairs touching the new ids, the
+    result equals what a full-corpus :func:`minhash_lsh_candidates`
+    over index∪batch would produce (pinned by pytest)."""
+    nb = _explode_buckets(
+        minhash_band_buckets(
+            new_docs, id_col, text_col, num_hashes, bands, shingle_k, use_arrow
+        ),
+        id_col,
+    )
+    ie = _explode_buckets(bucket_index, id_col)
+    cross = (
+        nb.alias("n")
+        .join(ie.alias("i"), ["band", "bucket"])
+        .where(F.col("n._id") != F.col("i._id"))
+        .select(
+            F.least("n._id", "i._id").alias("id_a"),
+            F.greatest("n._id", "i._id").alias("id_b"),
+        )
+    )
+    if include_new_pairs:
+        nn = (
+            nb.alias("l")
+            .join(nb.alias("r"), ["band", "bucket"])
+            .where(F.col("l._id") < F.col("r._id"))
+            .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        )
+        cross = cross.unionByName(nn)
+    return cross.distinct()
 
 
 def ngram_jaccard_pairs(

@@ -345,3 +345,90 @@ def test_maintained_projection_minhash_signatures(spark, tmp_path):
     assert polls >= 1
     want2 = as_map(project(docs.read().select("doc_id", "text")))
     assert as_map(maint.read()) == want2 and 60 in want2 and 1 not in want2
+
+
+def _salad(i, n_words=40, edit=False):
+    words = [f"w{(i * 37 + j * 101) % 4096}" for j in range(n_words)]
+    if edit:
+        words[-1] = "edited"
+    return " ".join(words)
+
+
+def test_incremental_lsh_candidates_equals_full(spark):
+    """Re-crawl dedup: candidates from (new batch × maintained bucket
+    index) must equal the full-corpus LSH run restricted to pairs
+    touching the new ids — without re-signing the corpus."""
+    from spark_cdc.operators import dedup_ops
+
+    corpus = spark.createDataFrame(
+        [(i, _salad(i)) for i in range(60)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100, _salad(7, edit=True)),      # near-dup of corpus doc 7
+         (101, _salad(900)),               # unique
+         (103, _salad(800)), (104, _salad(800, edit=True))],  # new×new pair
+        "doc_id long, text string",
+    )
+    kw = dict(num_hashes=32, bands=4)
+    index = dedup_ops.minhash_band_buckets(corpus, **kw)
+    inc = {(r["id_a"], r["id_b"]) for r in
+           dedup_ops.incremental_lsh_candidates(new, index, **kw).collect()}
+    assert (7, 100) in inc and (103, 104) in inc
+    full = {(r["id_a"], r["id_b"]) for r in
+            dedup_ops.minhash_lsh_candidates(corpus.unionByName(new), **kw).collect()}
+    new_ids = {100, 101, 103, 104}
+    assert inc == {p for p in full if p[0] in new_ids or p[1] in new_ids}
+
+
+def test_maintained_lsh_bucket_index_recrawl(spark, tmp_path):
+    """The LSH bucket index as a MaintainedProjection: crawl 1 indexes
+    the corpus through the change feed; crawl 2's batch is checked
+    against the maintained index (planted near-dup of an old doc
+    found) and the index rolls forward to cover it — no corpus
+    re-signing at any point."""
+    from spark_cdc.operators import dedup_ops
+    from spark_cdc.operators.index_maint import MaintainedProjection
+
+    kw = dict(num_hashes=32, bands=4)
+
+    def project(df):
+        return dedup_ops.minhash_band_buckets(df, **kw)
+
+    docs = LakeTable.create(
+        spark, str(tmp_path / "docs"), DOCS_SCHEMA,
+        key_columns=["doc_id"], num_buckets=4,
+    )
+    bschema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("buckets", T.ArrayType(T.LongType()), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ])
+    bt = LakeTable.create(
+        spark, str(tmp_path / "buckets"), bschema,
+        key_columns=["doc_id"], num_buckets=4,
+    )
+    maint = MaintainedProjection(
+        bt, ChangeFeedConsumer(docs, str(tmp_path / "cursor")), project
+    )
+    crawl1 = [(i, _salad(i)) for i in range(40)]
+    apply_batch(docs, _env(spark, crawl1, 0, "c"), batch_id=0,
+                collect_lineage=False)
+    maint.catch_up()
+    # crawl 2: one near-dup of an indexed doc, one fresh doc
+    crawl2 = [(200, _salad(13, edit=True)), (201, _salad(700))]
+    new = spark.createDataFrame(crawl2, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup_ops.incremental_lsh_candidates(new, maint.read(), **kw).collect()}
+    assert (13, 200) in pairs
+    assert not any(a not in (200, 201) and b not in (200, 201) for a, b in pairs)
+    # the crawl lands in the docs table; the index follows and now
+    # covers crawl 2 for the NEXT crawl's check
+    apply_batch(docs, _env(spark, crawl2, 1, "c"), batch_id=1,
+                collect_lineage=False)
+    maint.catch_up()
+    assert maint.read().count() == 42
+    crawl3 = spark.createDataFrame([(300, _salad(700, edit=True))],
+                                   "doc_id long, text string")
+    pairs3 = {(r["id_a"], r["id_b"]) for r in
+              dedup_ops.incremental_lsh_candidates(crawl3, maint.read(), **kw).collect()}
+    assert (201, 300) in pairs3  # collides with a doc indexed in crawl 2
