@@ -214,6 +214,16 @@ def main() -> None:
     sf1_events = int(os.environ.get("SCALING_SF1_EVENTS_PER_PART", "0"))
     sf1_trials = int(os.environ.get("SCALING_SF1_TRIALS", "1"))
 
+    # WORK is RAM-backed (/dev/shm): reap the tempfile.mkdtemp leftovers
+    # (spark.local.dir + per-run lake tables, all prefixed "tmp") that
+    # fleet subprocesses can't clean when killed, while keeping the
+    # cached log_bal_* input fixtures.
+    import glob
+    import shutil as _shutil
+
+    for stale in glob.glob(os.path.join(WORK, "tmp*")):
+        _shutil.rmtree(stale, ignore_errors=True)
+
     ceiling = cpu_ceiling(CORES_PER_EXECUTOR, 4 * CORES_PER_EXECUTOR)
     pairs = run_pairs(events_per_part, mode, batches, trials)
     lo, hi, eff = max(pairs, key=lambda p: p[2])

@@ -46,6 +46,9 @@ from spark_cdc.lake.feed import ChangeFeedConsumer
 from spark_cdc.lake.table import LakeTable
 from spark_cdc.operators.search import bm25_index, bm25_scores, bm25_topk, index_stats
 
+# sentinel: "key this rebuild on the observed head snapshot"
+_HEAD = object()
+
 BM25_INDEX_KEYS = ["doc_id", "token"]
 
 BM25_INDEX_SCHEMA = T.StructType(
@@ -219,8 +222,8 @@ def follow_index(
     """Service loop keeping an index current with its corpus table —
     the index twin of :func:`spark_cdc.lake.feed.follow`. ``maint`` is
     any maintained index with ``poll_apply``/``rebuild``
-    (:class:`MaintainedBM25Index`, :class:`MaintainedVectorCodes` once
-    it grows a rebuild). ``should_stop()`` (flag set by a signal
+    (:class:`MaintainedBM25Index`, :class:`MaintainedVectorCodes`,
+    :class:`MaintainedProjection`). ``should_stop()`` (flag set by a signal
     handler) ends the loop at an iteration boundary after the in-flight
     poll commits; ``max_idle_polls`` ends it after that many
     consecutive caught-up polls (catch-up mode). ``auto_rebuild``
@@ -441,15 +444,27 @@ class MaintainedVectorCodes:
         return self.table.read().select("vec_id", "list_id", "codes")
 
     def rebuild(self, vectors: DataFrame | None = None,
-                batch_id: int | None = None) -> None:
+                batch_id: int | object = _HEAD) -> None:
         """Full re-encode with the frozen quantizers (FeedExpired
         recovery via :func:`follow_index`, post-retrain refresh, or
         bootstrap): one insert batch replacing every key, plus
         tombstones for code rows whose vectors vanished while the feed
         was expired. ``vectors`` defaults to the corpus table's current
-        state."""
+        state.
+
+        Exactly-once: ``batch_id`` defaults to the observed head
+        snapshot (the same discipline as
+        :meth:`MaintainedBM25Index.rebuild`), so a crash between the
+        rebuild commit and the cursor commit makes the redelivered
+        rebuild a no-op. Pass ``batch_id=None`` explicitly to bypass
+        the guard — the post-retrain refresh at an UNCHANGED corpus
+        head needs that, since its head snapshot id was already
+        consumed by the pre-retrain state (re-running that refresh is
+        content-idempotent)."""
         self.consumer.table.refresh()
         to_snap = self.consumer.table.snapshot_id
+        if batch_id is _HEAD:
+            batch_id = to_snap
         if vectors is None:
             vectors = self.consumer.table.read().select(
                 F.col(self.id_col), F.col(self.vec_col)

@@ -190,13 +190,20 @@ class _FirstFitBins:
         return self.n - 1
 
     def find_first(self, need: int) -> int | None:
-        """Index of the LEFTMOST (oldest) bin with remaining ≥ need."""
-        if self.tree[1] < need:
+        """Index of the LEFTMOST (oldest) bin with remaining ≥ need.
+
+        ``need ≤ 0`` (a zero-token chunk handed straight to
+        ``pack_chunks``) must still resolve to an ALLOCATED bin: every
+        unallocated leaf holds 0, which satisfies ``≥ 0``, so without
+        the bounds the descent could land on a bin that was never
+        ``add_bin``'ed."""
+        if self.n == 0 or self.tree[1] < need:
             return None
         i = 1
         while i < self.size:
             i = 2 * i if self.tree[2 * i] >= need else 2 * i + 1
-        return i - self.size
+        b = i - self.size
+        return b if b < self.n else None
 
     def consume(self, b: int, t: int) -> None:
         self._set(b, self.tree[self.size + b] - t)

@@ -18,7 +18,7 @@ hot-conversation skew, and a mid-stream schema evolution point
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BASE_TS = "2024-01-01 00:00:00"
@@ -258,12 +258,15 @@ def generate_adtech(
     )
     # clicks: sampled from impressions, 1-120 s later
     # (/root/reference/seeder/seed.py:98-107); zero clicks for the
-    # second-to-last campaign
+    # second-to-last campaign. Click id = its impression id — unique by
+    # construction (≤1 click per impression) and derived arithmetically
+    # per row: a row_number() over a global Window here would funnel
+    # the whole fixture through one task at larger sf.
     clk = (
         imp.where(_u(seed, 17, F.col("id")) < F.lit(ctr))
         .where(F.col("campaign_id") != F.lit(n_campaigns - 1))
         .select(
-            F.row_number().over(Window.orderBy("id")).cast("int").alias("id"),
+            F.col("id").cast("int").alias("id"),
             F.col("campaign_id"),
             (
                 F.col("created_at")
