@@ -237,9 +237,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "index-follow":
         from spark_cdc.lake.feed import ChangeFeedConsumer
         from spark_cdc.operators.index_maint import (
-            BM25_INDEX_KEYS,
-            BM25_INDEX_SCHEMA,
             MaintainedBM25Index,
+            create_bm25_index_table,
             follow_index,
         )
 
@@ -247,9 +246,9 @@ def main(argv: list[str] | None = None) -> int:
         if LakeTable.exists(args.index_table):
             idx_tbl = LakeTable.load(spark, args.index_table)
         else:
-            idx_tbl = LakeTable.create(
-                spark, args.index_table, BM25_INDEX_SCHEMA,
-                key_columns=BM25_INDEX_KEYS, num_buckets=args.num_buckets,
+            # servable layout: token-bucketed + per-file token stats
+            idx_tbl = create_bm25_index_table(
+                spark, args.index_table, num_buckets=args.num_buckets
             )
         maint = MaintainedBM25Index(
             idx_tbl, ChangeFeedConsumer(docs, args.cursor),

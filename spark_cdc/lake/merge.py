@@ -93,6 +93,7 @@ def merge_changes(
     collect_lineage: bool = True,
     collect_stats: bool = True,
     mode: str = "cow",
+    extra_properties: dict | None = None,
 ) -> MergeResult:
     """Apply a CDC change batch to ``table``. Returns merge stats.
 
@@ -112,6 +113,12 @@ def merge_changes(
     Delta ``txnAppId``/``txnVersion`` idempotent-sink pattern), the
     batch is skipped entirely: a foreachBatch retry after a successful
     commit is a no-op.
+
+    ``extra_properties`` rides in the SAME snapshot commit as the data
+    (skipped batches update nothing) — the hook maintained indexes use
+    to keep derived scalars (e.g. BM25 corpus stats) transactionally
+    consistent with their postings, the way Iceberg snapshot summary
+    properties travel with a commit.
     """
     t0 = time.monotonic()
     keys = table.key_columns
@@ -151,6 +158,8 @@ def merge_changes(
             delete_op, gen,
         )
         props = dict(table.properties)
+        if extra_properties:
+            props.update(extra_properties)
         if batch_id is not None:
             lb = dict(props.get("last_batch_id", {}))
             lb[source_id] = batch_id
@@ -195,6 +204,8 @@ def merge_changes(
             delete_op,
         )
         props = dict(table.properties)
+        if extra_properties:
+            props.update(extra_properties)
         if batch_id is not None:
             lb = dict(props.get("last_batch_id", {}))
             lb[source_id] = batch_id
@@ -347,6 +358,8 @@ def merge_changes(
                     delete_op, gen,
                 )
             props = dict(table.properties)
+            if extra_properties:
+                props.update(extra_properties)
             if batch_id is not None:
                 lb = dict(props.get("last_batch_id", {}))
                 lb[source_id] = batch_id
@@ -477,6 +490,8 @@ def merge_changes(
             )
 
         props = dict(table.properties)
+        if extra_properties:
+            props.update(extra_properties)
         if batch_id is not None:
             lb = dict(props.get("last_batch_id", {}))
             lb[source_id] = batch_id

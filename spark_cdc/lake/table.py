@@ -223,6 +223,7 @@ class LakeTable:
         include_hidden: bool = False,
         resolve: bool | None = None,
         key_between: tuple | None = None,
+        key_in: list | None = None,
     ) -> DataFrame:
         """Snapshot read; optionally restricted to a bucket subset.
 
@@ -250,6 +251,16 @@ class LakeTable:
         whose range covers it, so no file of an in-range key is
         pruned). Files from pre-stats manifests have no recorded range
         and are kept.
+
+        ``key_in=[v1, v2, ...]`` is the multi-point twin: keep only
+        files whose [min, max] range contains at least one of the
+        values, and filter rows to the value set. This is the serving
+        probe for value-bucketed secondary indexes (a BM25 query's
+        token list, see :mod:`spark_cdc.operators.index_maint`) —
+        combined with bucket pruning via :meth:`buckets_for`, an
+        n-token probe over a 10^9-doc postings table reads only the
+        files that can hold those tokens' postings. Same row-filter
+        safety argument as ``key_between``.
         """
         manifest = (
             self.manifest if snapshot_id is None else self._read_manifest(snapshot_id)
@@ -260,23 +271,11 @@ class LakeTable:
             for b in manifest.get("delta_buckets", [])
             if buckets is None or int(b) in buckets
         }
-        stats = manifest.get("file_stats", {})
-
-        def overlaps(rel: str) -> bool:
-            if key_between is None:
-                return True
-            rng = stats.get(rel)
-            if not rng:
-                return True
-            lo, hi = key_between
-            return not (rng[1] < lo or rng[0] > hi)
-
-        files: list[str] = []
-        for b, flist in manifest["files"].items():
-            if buckets is None or int(b) in buckets:
-                files.extend(
-                    os.path.join(self.path, f) for f in flist if overlaps(f)
-                )
+        key_in_sorted = sorted(set(key_in)) if key_in is not None else None
+        files = [
+            os.path.join(self.path, f)
+            for f in self.selected_files(manifest, buckets, key_between, key_in_sorted)
+        ]
         if not files:
             df = self.spark.createDataFrame([], schema)
         else:
@@ -288,6 +287,10 @@ class LakeTable:
             lo, hi = key_between
             kc = F.col(self.bucket_column)
             df = df.where((kc >= F.lit(lo)) & (kc <= F.lit(hi)))
+        if key_in_sorted is not None and self.bucket_column:
+            # row-level twin of the key_in file pruning (same safety
+            # argument); pushed down to the parquet scan by Catalyst
+            df = df.where(F.col(self.bucket_column).isin(key_in_sorted))
         need_resolve = bool(delta_buckets) if resolve is None else resolve
         if need_resolve and self.key_columns and files:
             df = _resolve_latest(df, list(manifest["key_columns"]))
@@ -296,6 +299,52 @@ class LakeTable:
                 df = df.filter(~F.coalesce(F.col(V_DEL), F.lit(False)))
             df = df.drop(*[c for c in HIDDEN_COLS if c in df.columns])
         return df
+
+    def selected_files(
+        self,
+        manifest: dict[str, Any] | None = None,
+        buckets: list[int] | None = None,
+        key_between: tuple | None = None,
+        key_in: list | None = None,
+    ) -> list[str]:
+        """Relative data-file list a read with these predicates touches
+        — bucket subset first, then per-file [min, max] stats on the
+        bucket column (``key_between`` range / ``key_in`` membership
+        via bisect over the sorted probe list). Exposed so pruning is
+        testable and observable (the Iceberg ``planFiles`` analogue);
+        :meth:`read` consumes exactly this list."""
+        manifest = self.manifest if manifest is None else manifest
+        stats = manifest.get("file_stats", {})
+        key_in_sorted = sorted(set(key_in)) if key_in is not None else None
+
+        def overlaps(rel: str) -> bool:
+            if key_between is None and key_in_sorted is None:
+                return True
+            rng = stats.get(rel)
+            if not rng:
+                return True
+            if key_between is not None:
+                lo, hi = key_between
+                if rng[1] < lo or rng[0] > hi:
+                    return False
+            if key_in_sorted is not None:
+                # sorted probe list: bisect to the first value ≥ min
+                # and check it is ≤ max — O(log n) per file
+                import bisect
+
+                try:
+                    i = bisect.bisect_left(key_in_sorted, rng[0])
+                    if i >= len(key_in_sorted) or key_in_sorted[i] > rng[1]:
+                        return False
+                except TypeError:
+                    return True  # probe/stat type mismatch: never prune
+            return True
+
+        files: list[str] = []
+        for b, flist in manifest["files"].items():
+            if buckets is None or int(b) in buckets:
+                files.extend(f for f in flist if overlaps(f))
+        return files
 
     def lookup(self, key_value, snapshot_id: int | None = None) -> DataFrame:
         """Point read of one bucket-key value (e.g. one conversation):
@@ -322,6 +371,43 @@ class LakeTable:
             key_between=(key_value, key_value),
         )
         return df.where(F.col(col) == F.lit(key_value))
+
+    def buckets_for(self, values: list) -> list[int]:
+        """Bucket ids the given bucket-column values hash into — one
+        tiny Spark job over |values| local rows (the same JVM-exact
+        hash :func:`bucket_expr` writes with; never re-implemented
+        driver-side where it could drift). Bounded: probe value lists
+        are query-sized, not data-sized."""
+        col = self.bucket_column
+        if not col:
+            raise ValueError("buckets_for requires a bucketed table")
+        rows = self.spark.createDataFrame(
+            [(v,) for v in values],
+            T.StructType([T.StructField(col, self.schema[col].dataType)]),
+        )
+        return sorted(
+            r["b"]
+            for r in rows.select(bucket_expr(col, self.num_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+
+    def probe(self, values: list, snapshot_id: int | None = None) -> DataFrame:
+        """Multi-point serving read on the bucket column: restrict to
+        the buckets the values hash into, skip files whose [min, max]
+        range holds none of them, filter rows to the value set, THEN
+        MoR-resolve — the plural :meth:`lookup`. On a token-bucketed
+        postings table this is the reference's primary-key probe
+        semantics (ClickHouse ORDER BY index, /root/reference/etl/
+        clickhouse_schema/init.sql:41): an n-value probe reads
+        ≤ n/num_buckets of the metadata and only matching files."""
+        if not values:
+            raise ValueError("probe needs at least one value")
+        return self.read(
+            snapshot_id=snapshot_id,
+            buckets=self.buckets_for(values),
+            key_in=list(values),
+        )
 
     def read_changes(
         self,
@@ -599,8 +685,17 @@ class LakeTable:
             # clustered storage order within each file (the analogue of
             # the reference's ORDER BY (campaign_id, event_date) primary
             # key, init.sql:41,52; Iceberg WRITE ORDERED BY): better
-            # compression + parquet min/max data skipping on the key
-            df = df.sortWithinPartitions(BUCKET_COL, *self.key_columns)
+            # compression + parquet min/max data skipping on the key.
+            # The bucket column sorts FIRST even when it is not the
+            # leading key (e.g. BM25 postings keyed (doc_id, token) but
+            # bucketed by token): per-file [min,max] ranges on the
+            # bucket column stay tight, so probe reads actually skip
+            # files. No-op when bucket_column == key_columns[0].
+            sort_cols = [BUCKET_COL]
+            if self.bucket_column and self.bucket_column != self.key_columns[0]:
+                sort_cols.append(self.bucket_column)
+            sort_cols += [c for c in self.key_columns if c not in sort_cols]
+            df = df.sortWithinPartitions(*sort_cols)
         df.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(out_dir)
         files: dict[str, list[str]] = {}
         for entry in sorted(os.listdir(out_dir)):

@@ -15,6 +15,12 @@ MERGE into a :class:`~spark_cdc.lake.table.LakeTable`:
   batch; a deleted document just retracts. Within the batch the
   retraction carries ``op_seq 0`` and the insertion ``op_seq 1``, so a
   token present in both old and new text resolves to the new posting.
+  The SERVING side is covered too (:func:`create_bm25_index_table`):
+  the postings table is bucketed by **token** with per-file token
+  range stats, so a query probe reads only its terms' buckets/files,
+  and the corpus stats ``(n_docs, sum_dl)`` are maintained in the
+  snapshot properties of the same poll commit — a query is O(its
+  terms' postings), never O(index) or O(corpus).
 - **vector codes**, key ``(vec_id,)``: changed vectors are re-encoded
   with the FROZEN coarse (IVF) and product (PQ) quantizers and
   upserted; deletes drop the code row. Re-training the quantizers is a
@@ -44,7 +50,7 @@ from pyspark.sql import types as T
 from spark_cdc.cdc.apply import apply_batch
 from spark_cdc.lake.feed import ChangeFeedConsumer
 from spark_cdc.lake.table import LakeTable
-from spark_cdc.operators.search import bm25_index, bm25_scores, bm25_topk, index_stats
+from spark_cdc.operators.search import bm25_index, bm25_scores, bm25_topk
 
 # sentinel: "key this rebuild on the observed head snapshot"
 _HEAD = object()
@@ -72,6 +78,34 @@ CODES_SCHEMA = T.StructType(
         T.StructField("ts", T.TimestampType(), True),
     ]
 )
+
+
+def create_bm25_index_table(
+    spark,
+    path: str,
+    num_buckets: int = 32,
+    properties: dict | None = None,
+) -> LakeTable:
+    """Create the SERVABLE postings-table layout: keyed
+    ``(doc_id, token)`` for per-doc retraction merges, but hash-bucketed
+    by **token** with within-bucket token sort and per-file token
+    [min, max] stats. A query's token probe then reads only the buckets
+    its terms hash into and, within them, only files whose token range
+    can hold a term (:meth:`spark_cdc.lake.table.LakeTable.probe`) —
+    the reference's primary-key-probe semantics (ClickHouse ORDER BY
+    token index, /root/reference/etl/clickhouse_schema/init.sql:41)
+    instead of a full-index scan per query. Retraction cost is
+    unchanged: MoR merges append O(change set) delta rows whatever the
+    bucket column."""
+    return LakeTable.create(
+        spark,
+        path,
+        BM25_INDEX_SCHEMA,
+        key_columns=BM25_INDEX_KEYS,
+        bucket_column="token",
+        num_buckets=num_buckets,
+        properties=properties,
+    )
 
 
 def _envelope(df: DataFrame, ordinal: int, op: str, op_seq: int) -> DataFrame:
@@ -114,11 +148,59 @@ def bm25_postings_changes(
     return dels.unionByName(ins)
 
 
+def _corpus_stat_exprs(c):
+    """(counted, dl) column pair matching :func:`~spark_cdc.operators.
+    search.index_stats` semantics exactly: a doc is counted iff it has
+    ≥1 nonempty token (otherwise it has no postings and can never
+    match); its dl is the raw split size, as ``bm25_index`` records."""
+    from spark_cdc.operators.search import _tokens
+
+    toks = _tokens(c)
+    counted = c.isNotNull() & F.exists(toks, lambda t: t != "")
+    dl = F.when(counted, F.size(toks)).otherwise(F.lit(0))
+    return counted, dl
+
+
+def bm25_stats_delta(diff: DataFrame, text_col: str = "text") -> tuple[int, int]:
+    """(Δn_docs, Δsum_dl) contributed by one preimage diff — the
+    O(change set) driver aggregate that keeps corpus stats maintained
+    instead of recomputed: post-image docs add their (1, dl), pre-image
+    docs retract theirs."""
+    post_counted, post_dl = _corpus_stat_exprs(F.col(text_col))
+    pre_counted, pre_dl = _corpus_stat_exprs(F.col(f"_pre_{text_col}"))
+    is_post = F.col("_change_type").isin("insert", "update_postimage")
+    is_pre = F.col("_change_type").isin("delete", "update_postimage")
+    pc = F.when(is_post & post_counted, F.lit(1)).otherwise(F.lit(0))
+    qc = F.when(is_pre & pre_counted, F.lit(1)).otherwise(F.lit(0))
+    pd_ = F.when(is_post, post_dl).otherwise(F.lit(0))
+    qd = F.when(is_pre, pre_dl).otherwise(F.lit(0))
+    row = diff.agg(
+        F.sum(pc - qc).alias("dn"), F.sum(pd_ - qd).alias("ddl")
+    ).first()
+    return int(row["dn"] or 0), int(row["ddl"] or 0)
+
+
 class MaintainedBM25Index:
     """BM25 inverted index that follows its corpus table via the
     change feed — poll → retract+insert postings MERGE → commit
     cursor. ``scores``/``topk`` serve queries straight from the
-    maintained postings (corpus never rescanned)."""
+    maintained postings (corpus never rescanned).
+
+    Serving-tier discipline (both maintained in the SAME poll commit,
+    so they are transactionally consistent with the postings):
+
+    - corpus stats ``(n_docs, sum_dl)`` live in the index table's
+      snapshot properties and are adjusted by the change set's delta
+      (:func:`bm25_stats_delta`) — a query never runs the O(index)
+      ``groupBy(doc_id)`` stats aggregate;
+    - on a token-bucketed table (:func:`create_bm25_index_table`) the
+      query probe reads only the buckets/files its terms can live in
+      (:meth:`~spark_cdc.lake.table.LakeTable.probe`) — query cost
+      scales with the terms' postings, not the index. A legacy
+      doc_id-bucketed table still works, falling back to the full read.
+    """
+
+    STATS_PROP = "bm25_stats"
 
     def __init__(
         self,
@@ -137,11 +219,18 @@ class MaintainedBM25Index:
     def poll_apply(self) -> bool:
         """One poll; False when caught up. Crash-safe: the merge's
         batch id is the feed snapshot, so a redelivered poll after a
-        crash-before-cursor-commit is skipped by the batch-id guard."""
+        crash-before-cursor-commit is skipped by the batch-id guard —
+        and since the stats properties ride in that same guarded
+        commit, they can neither double-count nor drift."""
         got = self.consumer.poll(include_preimage=True)
         if got is None:
             return False
         diff, to_snap = got
+        # the diff feeds two consumers (stats delta + postings merge);
+        # materialize it once instead of recomputing the bucket join
+        diff = diff.localCheckpoint()
+        dn, ddl = bm25_stats_delta(diff, self.text_col)
+        n0, s0 = self.stats_raw()
         changes = bm25_postings_changes(diff, to_snap, self.text_col, self.id_col)
         apply_batch(
             self.table,
@@ -150,9 +239,46 @@ class MaintainedBM25Index:
             source_id=self.source_id,
             collect_lineage=False,
             collect_stats=False,
+            extra_properties={
+                self.STATS_PROP: {"n_docs": n0 + dn, "sum_dl": s0 + ddl}
+            },
         )
         self.consumer.commit(to_snap)
         return True
+
+    def stats_raw(self) -> tuple[int, int]:
+        """Maintained ``(n_docs, sum_dl)`` from snapshot properties.
+        A table that predates stats maintenance pays the O(index)
+        doc-level aggregate ONCE here; every maintained commit after
+        that serves from the manifest (no Spark job at all)."""
+        p = self.table.properties.get(self.STATS_PROP)
+        if p is not None:
+            return int(p["n_docs"]), int(p["sum_dl"])
+        row = (
+            self.read()
+            .groupBy("doc_id")
+            .agg(F.first("dl").alias("dl"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+            .first()
+        )
+        return int(row["n"] or 0), int(row["s"] or 0)
+
+    def stats(self) -> tuple[int, float]:
+        """(N, avgdl) in the shape :func:`~spark_cdc.operators.search.
+        bm25_scores` consumes."""
+        n, s = self.stats_raw()
+        return n, (s / n if n else 0.0)
+
+    def probe_postings(self, tokens: list[str]) -> DataFrame:
+        """Postings restricted to ``tokens``, read through bucket +
+        file pruning when the table is token-bucketed (the servable
+        layout); full-scan fallback otherwise."""
+        toks = sorted(set(tokens))
+        if self.table.bucket_column == "token" and toks:
+            df = self.table.probe(toks)
+        else:
+            df = self.table.read()
+        return df.select("doc_id", "token", "tf", "dl")
 
     def catch_up(self) -> int:
         """Drain the feed; number of polls applied."""
@@ -193,6 +319,11 @@ class MaintainedBM25Index:
         changes = _envelope(stale, to_snap, "d", 0).unionByName(
             _envelope(fresh, to_snap, "c", 1)
         )
+        counted, dl = _corpus_stat_exprs(F.col(self.text_col))
+        srow = docs.agg(
+            F.sum(F.when(counted, F.lit(1)).otherwise(F.lit(0))).alias("n"),
+            F.sum(dl).alias("s"),
+        ).first()
         apply_batch(
             self.table,
             changes,
@@ -200,16 +331,50 @@ class MaintainedBM25Index:
             source_id=self.source_id,
             collect_lineage=False,
             collect_stats=False,
+            extra_properties={
+                self.STATS_PROP: {
+                    "n_docs": int(srow["n"] or 0),
+                    "sum_dl": int(srow["s"] or 0),
+                }
+            },
         )
         self.consumer.commit(to_snap)
 
     def scores(self, query: str, k1: float = 1.2, b: float = 0.75) -> DataFrame:
-        idx = self.read()
-        return bm25_scores(None, query, k1=k1, b=b, index=idx)
+        qtokens = sorted({t for t in query.lower().split() if t})
+        idx = self.probe_postings(qtokens)
+        return bm25_scores(None, query, k1=k1, b=b, index=idx, stats=self.stats())
 
     def topk(self, query: str, k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
-        idx = self.read()
-        return bm25_topk(None, query, k=k, k1=k1, b=b, index=idx, stats=index_stats(idx))
+        qtokens = sorted({t for t in query.lower().split() if t})
+        idx = self.probe_postings(qtokens)
+        return bm25_topk(None, query, k=k, k1=k1, b=b, index=idx, stats=self.stats())
+
+    def batch_scores(
+        self, queries: list[tuple], k1: float = 1.2, b: float = 0.75
+    ) -> DataFrame:
+        """Score a batch of ``(query_id, text)`` queries in one pass:
+        one pruned probe for the union of all terms, one shuffle —
+        see :func:`spark_cdc.operators.search.bm25_batch_scores`."""
+        from spark_cdc.operators.search import bm25_batch_scores
+
+        toks = [t for _, q in queries for t in q.lower().split() if t]
+        idx = self.probe_postings(toks)
+        return bm25_batch_scores(
+            None, queries, k1=k1, b=b, index=idx, stats=self.stats()
+        )
+
+    def batch_topk(
+        self, queries: list[tuple], k: int = 10,
+        k1: float = 1.2, b: float = 0.75,
+    ) -> DataFrame:
+        from spark_cdc.operators.search import bm25_batch_topk
+
+        toks = [t for _, q in queries for t in q.lower().split() if t]
+        idx = self.probe_postings(toks)
+        return bm25_batch_topk(
+            None, queries, k=k, k1=k1, b=b, index=idx, stats=self.stats()
+        )
 
 
 def follow_index(

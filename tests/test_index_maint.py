@@ -432,3 +432,177 @@ def test_maintained_lsh_bucket_index_recrawl(spark, tmp_path):
     pairs3 = {(r["id_a"], r["id_b"]) for r in
               dedup_ops.incremental_lsh_candidates(crawl3, maint.read(), **kw).collect()}
     assert (201, 300) in pairs3  # collides with a doc indexed in crawl 2
+
+
+def _mk_servable(spark, base):
+    from spark_cdc.operators.index_maint import create_bm25_index_table
+
+    docs = LakeTable.create(
+        spark, os.path.join(base, "docs"), DOCS_SCHEMA,
+        key_columns=["doc_id"], num_buckets=4,
+    )
+    idx = create_bm25_index_table(spark, os.path.join(base, "bm25"), num_buckets=8)
+    maint = MaintainedBM25Index(
+        idx, ChangeFeedConsumer(docs, os.path.join(base, "cursor"))
+    )
+    return docs, maint
+
+
+def test_bm25_servable_stats_maintained_not_recomputed(spark, tmp_path):
+    """The (n_docs, sum_dl) corpus stats ride in the SAME poll commit
+    as the postings and must equal index_stats() over the maintained
+    postings after mixed insert/update/delete batches — including a
+    doc updated to EMPTY text (leaves the index, leaves the stats).
+    Serving must read them from snapshot properties without touching
+    the index at all."""
+    from spark_cdc.operators.search import index_stats
+
+    docs, maint = _mk_servable(spark, str(tmp_path))
+    apply_batch(docs, _env(spark, _texts(40), 0, "c"), batch_id=0,
+                collect_lineage=False)
+    maint.catch_up()
+    apply_batch(
+        docs,
+        _env(spark, [(i, f"updated zeta w{i}") for i in range(0, 40, 7)], 1, "c"),
+        batch_id=1, collect_lineage=False,
+    )
+    apply_batch(docs, _env(spark, [(5, "")], 2, "c"), batch_id=2,
+                collect_lineage=False)
+    apply_batch(
+        docs, _env(spark, [(i, None) for i in range(0, 40, 11)], 3, "d"),
+        batch_id=3, collect_lineage=False,
+    )
+    maint.catch_up()
+    n_m, avg_m = maint.stats()
+    n_i, avg_i = index_stats(maint.read())
+    assert n_m == n_i
+    assert abs(avg_m - avg_i) < 1e-9
+    # serving the stats is a manifest read, never an index scan
+    orig = maint.read
+    maint.read = lambda: (_ for _ in ()).throw(
+        AssertionError("stats() scanned the index")
+    )
+    try:
+        assert maint.stats() == (n_m, avg_m)
+    finally:
+        maint.read = orig
+    # redelivery can't double-count: re-apply last poll's diff manually
+    before = maint.stats_raw()
+    assert maint.poll_apply() is False  # caught up — nothing re-applied
+    assert maint.stats_raw() == before
+
+
+def test_bm25_servable_probe_prunes_files_and_scores_match(spark, tmp_path):
+    """Token-bucketed layout: a query probe must read strictly fewer
+    files than the index holds (bucket pruning + per-file token range
+    stats) and still produce exactly the full-scan scores."""
+    docs, maint = _mk_servable(spark, str(tmp_path))
+    apply_batch(docs, _env(spark, _texts(60), 0, "c"), batch_id=0,
+                collect_lineage=False)
+    apply_batch(
+        docs, _env(spark, [(i, None) for i in range(0, 60, 9)], 1, "d"),
+        batch_id=1, collect_lineage=False,
+    )
+    maint.catch_up()
+    idx_tbl = maint.table
+    total = len(idx_tbl.selected_files())
+    probed = len(
+        idx_tbl.selected_files(
+            buckets=idx_tbl.buckets_for(["alpha"]), key_in=["alpha"]
+        )
+    )
+    assert 0 < probed < total
+    # probed serving path == full-index recompute (index-path stats)
+    want = {r["doc_id"]: round(r["score"], 9)
+            for r in bm25_scores(
+                None, "alpha delta",
+                index=bm25_index(docs.read().select("doc_id", "text")),
+            ).collect()}
+    scored = maint.scores("alpha delta")
+    got = {r["doc_id"]: round(r["score"], 9) for r in scored.collect()}
+    assert got == want
+    # the token probe is pushed into the parquet scan (row-level twin
+    # of the file pruning): no full-postings scan on the query path
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "In(token" in plan, plan
+    top = maint.topk("alpha delta", k=3).collect()
+    assert [r["rank"] for r in top] == [1, 2, 3]
+
+
+def test_bm25_batch_queries_equal_per_query(spark, tmp_path):
+    """batch_scores/batch_topk over the maintained index == looping
+    scores()/topk() per query — one probe pass instead of N."""
+    docs, maint = _mk_servable(spark, str(tmp_path))
+    apply_batch(docs, _env(spark, _texts(50), 0, "c"), batch_id=0,
+                collect_lineage=False)
+    maint.catch_up()
+    queries = [(1, "alpha delta"), (2, "beta w3"), (3, "gamma alpha beta")]
+    got = {(r["query_id"], r["doc_id"]): round(r["score"], 9)
+           for r in maint.batch_scores(queries).collect()}
+    want = {}
+    for qid, q in queries:
+        for r in maint.scores(q).collect():
+            want[(qid, r["doc_id"])] = round(r["score"], 9)
+    assert got == want
+    topb = maint.batch_topk(queries, k=2).collect()
+    assert len(topb) == 6
+    for qid, q in queries:
+        per = [(r["rank"], r["doc_id"]) for r in maint.topk(q, k=2).collect()]
+        batch = sorted(
+            (r["rank"], r["doc_id"]) for r in topb if r["query_id"] == qid
+        )
+        assert batch == per
+
+
+def test_codes_rebuild_redelivery_noop(spark, tmp_path):
+    """Crash between codes-rebuild commit and cursor commit: the
+    redelivered rebuild is keyed on the same head snapshot, so the
+    batch-id guard skips it (no new snapshot, same codes)."""
+    from spark_cdc.operators.ann import train_ivf_centroids, train_pq_codebooks
+
+    dim, n = 8, 20
+    rows = [
+        (i, [float(((i * 17 + j * 3) % 11) - 5) / 5.0 for j in range(dim)])
+        for i in range(n)
+    ]
+    vecs_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    vt = LakeTable.create(
+        spark, str(tmp_path / "vecs"), vecs_schema,
+        key_columns=["vec_id"], num_buckets=4,
+    )
+    ct = LakeTable.create(
+        spark, str(tmp_path / "codes"), CODES_SCHEMA,
+        key_columns=CODES_KEYS, num_buckets=4,
+    )
+    base_df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = train_ivf_centroids(base_df, dim, n_lists=2, seed=3, sample_size=n)
+    codebooks = train_pq_codebooks(base_df, dim, m=2, n_codes=4, seed=3, sample_size=n)
+    maint = MaintainedVectorCodes(
+        ct, ChangeFeedConsumer(vt, str(tmp_path / "vcursor")),
+        centroids, codebooks,
+    )
+    env = base_df.select(
+        F.col("vec_id").alias("lsn"), F.lit(0).cast("long").alias("op_seq"),
+        F.lit("c").alias("op"), "vec_id", "embedding",
+        F.timestamp_seconds(F.lit(0)).alias("ts"),
+    )
+    apply_batch(vt, env, batch_id=0, collect_lineage=False)
+    # first rebuild (bootstrap) commits codes AND cursor
+    maint.rebuild()
+    snap_after = ct.snapshot_id
+    codes_after = {r["vec_id"]: (r["list_id"], tuple(r["codes"]))
+                   for r in maint.read().collect()}
+    # "crash before cursor commit": reset the cursor, redeliver
+    maint.consumer.commit(0)
+    maint.rebuild()
+    ct.refresh()
+    assert ct.snapshot_id == snap_after  # guard skipped the merge
+    assert {r["vec_id"]: (r["list_id"], tuple(r["codes"]))
+            for r in maint.read().collect()} == codes_after
+    assert maint.consumer.position() == vt.snapshot_id

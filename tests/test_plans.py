@@ -242,3 +242,31 @@ def test_bm25_topk_is_distributed_takeordered(spark):
         assert got == direct
     finally:
         idx.unpersist()
+
+
+def test_bm25_batch_join_count_invariant_in_query_count(spark):
+    """bm25_batch_scores: N queries ride ONE probe pass — the plan has
+    exactly the same join structure (one df-stats broadcast join + one
+    query-membership broadcast join over one postings filter) whether
+    the batch carries 2 queries or 4. Per-query jobs would scale scans
+    and shuffles with N; the batch form must not."""
+    from spark_cdc.operators.search import bm25_batch_scores, bm25_index
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    idx = bm25_index(docs).cache()
+    try:
+        q2 = [(1, "spark merge"), (2, "vector hash")]
+        q4 = q2 + [(3, "stream batch"), (4, "scan window")]
+        plans = []
+        for qs in (q2, q4):
+            df = bm25_batch_scores(None, qs, index=idx)
+            df.collect()
+            plans.append(
+                df._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0]
+            )
+        for marker in ("BroadcastHashJoin", "HashAggregate", "Exchange"):
+            assert plans[0].count(marker) == plans[1].count(marker), marker
+        assert plans[1].count("BroadcastHashJoin") == 2, plans[1]
+    finally:
+        idx.unpersist()
