@@ -351,15 +351,15 @@ def run_routed_replay(spark, sf: float, n_events: int, n_convs: int, n_tables: i
         mode="mor", collect_lineage=False, collect_stats=False,
     )
     step = n_events // N_BATCHES
-    t0 = time.monotonic()
-    for i in range(N_BATCHES):
-        lo, hi = i * step, (i + 1) * step if i < N_BATCHES - 1 else n_events
-        batch = frames.where((F.col("offset") >= lo) & (F.col("offset") < hi))
-        apply_batch_routed(
-            tables, parse_kafka_frames(batch), batch_id=i + 1,
-            mode="mor", collect_lineage=False, collect_stats=False,
-        )
-    elapsed = time.monotonic() - t0
+    with StealWindow() as sw:
+        for i in range(N_BATCHES):
+            lo, hi = i * step, (i + 1) * step if i < N_BATCHES - 1 else n_events
+            batch = frames.where((F.col("offset") >= lo) & (F.col("offset") < hi))
+            apply_batch_routed(
+                tables, parse_kafka_frames(batch), batch_id=i + 1,
+                mode="mor", collect_lineage=False, collect_stats=False,
+            )
+    elapsed = sw.sec
     total_rows = sum(t.read().count() for t in tables.values())
     shutil.rmtree(workdir, ignore_errors=True)
     return {
@@ -368,6 +368,7 @@ def run_routed_replay(spark, sf: float, n_events: int, n_convs: int, n_tables: i
         "batches": N_BATCHES,
         "elapsed_sec": round(elapsed, 3),
         "events_per_sec": round(n_events / elapsed, 1),
+        "steal_ratio": sw.steal_ratio,
         "final_rows": total_rows,
     }
 
@@ -540,7 +541,139 @@ def run_dedup_scale(spark) -> dict[str, float]:
     return out
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_bm25_maint(spark) -> tuple[dict, list]:
+    """Maintained-BM25 cost series: 8 equal change batches into a
+    GROWING corpus (12.5k docs each, plus updates+deletes of earlier
+    docs), timing each index poll — the ``ivm_ms`` twin proving
+    maintenance tracks the change set, not the table. Then the serving
+    side: maintained-index topk latency measured right after the first
+    batch (~12.5k docs) and again at the full corpus (~100k docs,
+    after compaction folds the per-poll delta generations) — with
+    token-bucket + file pruning the probe cost follows the query
+    terms' postings, so the 8× corpus shows up sublinearly."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.lake.feed import ChangeFeedConsumer
+    from spark_cdc.lake.maintenance import compact
+    from spark_cdc.lake.table import LakeTable
+    from spark_cdc.operators.index_maint import (
+        MaintainedBM25Index,
+        create_bm25_index_table,
+    )
+
+    base_dir = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    base = os.path.join(base_dir, "spark_cdc_bench_bm25m")
+    _sh.rmtree(base, ignore_errors=True)
+    docs_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    docs_tbl = LakeTable.create(
+        spark, base + "/docs", docs_schema, key_columns=["doc_id"], num_buckets=16
+    )
+    idx_tbl = create_bm25_index_table(spark, base + "/idx", num_buckets=32)
+    maint = MaintainedBM25Index(
+        idx_tbl, ChangeFeedConsumer(docs_tbl, base + "/cursor")
+    )
+
+    def text_expr(salt: int):
+        # 30 tokens/doc from a 5000-word hash-derived vocabulary:
+        # deterministic, wall-clock-free, selective enough that a
+        # 3-term query's postings stay a small corpus fraction
+        parts = [
+            F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.xxhash64(F.col("doc_id") * F.lit(31) + F.lit(j * 7 + salt)),
+                    F.lit(5000),
+                ).cast("string"),
+            )
+            for j in range(30)
+        ]
+        return F.concat_ws(" ", *parts)
+
+    def env(df, i):
+        return df.select(
+            F.col("doc_id").alias("lsn"),
+            F.lit(i).cast("long").alias("op_seq"),
+            F.col("op"),
+            "doc_id",
+            "text",
+            F.timestamp_seconds(F.lit(i)).alias("ts"),
+        )
+
+    per, n_batches = 12_500, 8
+    maint_ms = []
+    serve = {}
+    for i in range(n_batches):
+        ins = spark.range(i * per, (i + 1) * per).select(
+            F.col("id").alias("doc_id"), text_expr(0).alias("text"),
+            F.lit("c").alias("op"),
+        )
+        batch = ins
+        if i > 0:
+            upd = spark.range((i - 1) * per, (i - 1) * per + 1000).select(
+                F.col("id").alias("doc_id"), text_expr(i).alias("text"),
+                F.lit("c").alias("op"),
+            )
+            dels = spark.range((i - 1) * per + 6000, (i - 1) * per + 6200).select(
+                F.col("id").alias("doc_id"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit("d").alias("op"),
+            )
+            batch = ins.unionByName(upd).unionByName(dels)
+        apply_batch(docs_tbl, env(batch, i), batch_id=i, mode="mor",
+                    collect_lineage=False, collect_stats=False)
+        t0 = time.monotonic()
+        maint.catch_up()
+        maint_ms.append(round((time.monotonic() - t0) * 1000, 1))
+        if i == 0:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.monotonic()
+                maint.topk("w17 w423 w999", k=10).collect()
+                best = min(best, time.monotonic() - t0)
+            serve["bm25_serve_sec_1x"] = round(best, 3)
+    compact(idx_tbl)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        maint.topk("w17 w423 w999", k=10).collect()
+        best = min(best, time.monotonic() - t0)
+    serve["bm25_serve_sec_8x"] = round(best, 3)
+    _sh.rmtree(base, ignore_errors=True)
+    return serve, maint_ms
+
+
+def _stolen_retry(fn, threshold: float = 0.05):
+    """Run ``fn`` inside a StealWindow; if the hypervisor stole more
+    than ``threshold`` of the window, run it ONCE more and keep the
+    cleaner regime — the discipline the replay headline already used.
+    Round 5's driver artifact caught a 0.80-steal query window and
+    recorded 2-3× phantom regressions that a quiet re-run contradicted;
+    both samples stay attributable via the returned retry record.
+    Returns (sec, steal_ratio, retry_record_or_None)."""
+    with StealWindow() as sw:
+        fn()
+    sec, steal = sw.sec, sw.steal_ratio
+    retry = None
+    if steal > threshold:
+        with StealWindow() as sw2:
+            fn()
+        retry = {"first_sec": round(sec, 3), "first_steal": steal}
+        if sw2.steal_ratio < steal:
+            sec, steal = sw2.sec, sw2.steal_ratio
+    return sec, steal, retry
+
+
+def run_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
     from spark_cdc.plans import QUERIES
 
     # spin up the Arrow/pandas-UDF worker pool outside the timed
@@ -555,18 +688,35 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     out = {}
     steals = {}
+    retries = {}
     for name in BENCH_QUERIES:
+        sec, steal, retry = _stolen_retry(
+            lambda: QUERIES[name](spark, sf_dir).collect()
+        )
+        out[name] = round(sec, 3)
+        steals[name] = steal
+        if retry:
+            retries[name] = retry
+    # the two composite windows are internally best-of-2 already; a
+    # stolen window still poisons both samples, so the same retry
+    # discipline applies at a higher trip point (they are 30-60s each),
+    # keeping the per-entry minimum across the two windows
+    for wname, runner in (
+        ("ann_d768_window", lambda: run_ann_d768(spark, sf_of(sf_dir))),
+        ("dedup_scale_window", lambda: run_dedup_scale(spark)),
+    ):
         with StealWindow() as sw:
-            QUERIES[name](spark, sf_dir).collect()
-        out[name] = round(sw.sec, 3)
-        steals[name] = sw.steal_ratio
-    with StealWindow() as sw:
-        out.update(run_ann_d768(spark, sf_of(sf_dir)))
-    steals["ann_d768_window"] = sw.steal_ratio
-    with StealWindow() as sw:
-        out.update(run_dedup_scale(spark))
-    steals["dedup_scale_window"] = sw.steal_ratio
-    return out, steals
+            vals = runner()
+        steals[wname] = sw.steal_ratio
+        if sw.steal_ratio > 0.10:
+            with StealWindow() as sw2:
+                vals2 = runner()
+            retries[wname] = {"first_steal": sw.steal_ratio,
+                              "second_steal": sw2.steal_ratio}
+            vals = {k: min(v, vals2.get(k, v)) for k, v in vals.items()}
+            steals[wname] = min(sw.steal_ratio, sw2.steal_ratio)
+        out.update(vals)
+    return out, steals, retries
 
 
 def _scaling_summary(detail_dir: str) -> dict | None:
@@ -633,10 +783,23 @@ def main() -> None:
         if retry["steal_ratio"] < cdc["steal_ratio"]:
             retry["first_attempt_steal_ratio"] = cdc["steal_ratio"]
             cdc = retry
-    cdc_cow = run_replay(spark, sf, n_events, n_convs, mode="cow")
-    cdc_skew = run_replay(spark, sf, n_events, n_convs, mode="mor",
-                          zipf_alpha=1.1)
-    cdc_routed = run_routed_replay(spark, sf, n_events, n_convs)
+    def _replay_retry(runner):
+        # same once-if-stolen discipline as the MoR headline above
+        r = runner()
+        if r["steal_ratio"] > 0.05:
+            r2 = runner()
+            if r2["steal_ratio"] < r["steal_ratio"]:
+                r2["first_attempt_steal_ratio"] = r["steal_ratio"]
+                r = r2
+        return r
+
+    cdc_cow = _replay_retry(
+        lambda: run_replay(spark, sf, n_events, n_convs, mode="cow"))
+    cdc_skew = _replay_retry(
+        lambda: run_replay(spark, sf, n_events, n_convs, mode="mor",
+                           zipf_alpha=1.1))
+    cdc_routed = _replay_retry(
+        lambda: run_routed_replay(spark, sf, n_events, n_convs))
 
     # 10× scale point (only at the headline sf so the sf0.01 quick loop
     # stays quick): same engine, same batch count, 20M events — the
@@ -645,7 +808,13 @@ def main() -> None:
     if sf >= 0.1 and os.environ.get("SPARK_CDC_BENCH_SF1", "1") != "0":
         sf1 = run_replay(spark, 1.0, EVENTS_PER_SF, CONVS_PER_SF, mode="mor")
 
-    queries, q_steals = run_queries(spark, sf_dir)
+    queries, q_steals, q_retries = run_queries(spark, sf_dir)
+    # maintained-BM25 cost series (ivm_ms twin) + serving latency at
+    # 1x vs 8x corpus — the round-6 servable-index evidence
+    with StealWindow() as sw_bm:
+        bm25_serve, bm25_maint_ms = run_bm25_maint(spark)
+    q_steals["bm25_maint_window"] = sw_bm.steal_ratio
+    queries.update(bm25_serve)
     total = round(
         cdc["elapsed_sec"] + cdc["compact_sec"] + cdc_cow["elapsed_sec"]
         + cdc_skew["elapsed_sec"] + cdc_routed["elapsed_sec"]
@@ -659,7 +828,8 @@ def main() -> None:
     os.makedirs(detail_dir, exist_ok=True)
     with open(os.path.join(detail_dir, "phases_latest.json"), "w") as f:
         json.dump({"cdc": cdc, "cdc_cow": cdc_cow, "cdc_skew": cdc_skew,
-                   "sf1": sf1, "query_steal_ratios": q_steals}, f, indent=1)
+                   "sf1": sf1, "query_steal_ratios": q_steals,
+                   "query_steal_retries": q_retries}, f, indent=1)
 
     # stdout line budget is ~2000 chars (driver tail capture): headline
     # numbers only here, every per-mode/per-batch detail is in
@@ -692,12 +862,16 @@ def main() -> None:
             "replay_mor": cdc["steal_ratio"],
             "replay_cow": cdc_cow["steal_ratio"],
             "replay_skew": cdc_skew["steal_ratio"],
+            "replay_routed": cdc_routed["steal_ratio"],
             **({"sf1": sf1["steal_ratio"]} if sf1 else {}),
             "queries_max": max(q_steals.values()),
         },
         # O(change set) evidence: per-batch view-maintenance ms while
         # the table grows — must stay flat
         "ivm_ms": cdc.get("ivm_ms"),
+        # O(change set) index maintenance: per-poll ms over 8 equal
+        # change batches while the indexed corpus grows 8x
+        "bm25_maint_ms": bm25_maint_ms,
         # N→4N fleet efficiency from the latest bench_scaling.py run
         # (full report: BENCH/scaling_latest.json + BENCH/BASELINE.md)
         "scaling": _scaling_summary(detail_dir),

@@ -378,6 +378,7 @@ def incremental_lsh_candidates(
     shingle_k: int = 5,
     use_arrow: bool = True,
     include_new_pairs: bool = True,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs between a NEW document batch and an
     already-indexed corpus — the asymmetric shape a re-crawling
@@ -385,6 +386,14 @@ def incremental_lsh_candidates(
     (id, band, bucket) rows equi-join the maintained
     :func:`minhash_band_buckets` index, so cost is O(new batch +
     collisions) and the corpus is NEVER re-signed or re-paired.
+
+    ``broadcast_batch`` (default) BROADCASTS the new batch's exploded
+    band rows, so the corpus-side index streams through the join with
+    ZERO shuffle — at 10^9 indexed docs, exchanging the index to
+    co-partition with a 10^5-doc crawl batch would dwarf the probe
+    itself (plan-asserted shuffle-free in tests/test_plans.py). Set it
+    False only for a bootstrap-sized "batch" where broadcasting would
+    blow the driver; AQE then picks the join side.
 
     Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``, covering
     new×indexed collisions and (with ``include_new_pairs``) new×new
@@ -401,9 +410,10 @@ def incremental_lsh_candidates(
         id_col,
     )
     ie = _explode_buckets(bucket_index, id_col)
+    probe = F.broadcast(nb) if broadcast_batch else nb
     cross = (
-        nb.alias("n")
-        .join(ie.alias("i"), ["band", "bucket"])
+        ie.alias("i")
+        .join(probe.alias("n"), ["band", "bucket"])
         .where(F.col("n._id") != F.col("i._id"))
         .select(
             F.least("n._id", "i._id").alias("id_a"),
@@ -412,7 +422,7 @@ def incremental_lsh_candidates(
     )
     if include_new_pairs:
         nn = (
-            nb.alias("l")
+            (F.broadcast(nb) if broadcast_batch else nb).alias("l")
             .join(nb.alias("r"), ["band", "bucket"])
             .where(F.col("l._id") < F.col("r._id"))
             .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))

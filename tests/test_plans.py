@@ -270,3 +270,29 @@ def test_bm25_batch_join_count_invariant_in_query_count(spark):
         assert plans[1].count("BroadcastHashJoin") == 2, plans[1]
     finally:
         idx.unpersist()
+
+
+def test_incremental_lsh_probe_never_shuffles_index(spark):
+    """Re-crawl probe: the maintained bucket index must STREAM through
+    a broadcast join with the new batch's exploded bands — no sort-merge
+    join, so the 10^9-doc index side is never exchanged/sorted to
+    co-partition with a small crawl batch. (The only Exchange left is
+    the distinct over the collision output, which is bounded.)"""
+    from pyspark.sql import functions as F
+
+    from spark_cdc.operators.dedup_ops import (
+        incremental_lsh_candidates,
+        minhash_band_buckets,
+    )
+
+    docs = spark.read.parquet(SF + "/documents.parquet").select("doc_id", "text")
+    idx = minhash_band_buckets(docs.where(F.col("doc_id") < 400))
+    new = docs.where(F.col("doc_id") >= 400).limit(50)
+    cand = incremental_lsh_candidates(new, idx)
+    cand.collect()
+    plan = (
+        cand._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
