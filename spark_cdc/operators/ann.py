@@ -219,6 +219,29 @@ def ivf_assign_udf(centroids, nprobe: int = 1):
     return _assign
 
 
+def ivf_assign_quality_udf(centroids):
+    """pandas UDF: embedding → cosine similarity to its NEAREST coarse
+    centroid. This is the assignment-quality signal quantizer-drift
+    monitoring tracks (:class:`spark_cdc.operators.index_maint.
+    MaintainedVectorCodes`): when a re-crawl shifts the embedding
+    distribution, new vectors sit farther from every frozen centroid,
+    this similarity drops below the training-time baseline, and the
+    serving tier knows its recall is degrading BEFORE users do."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64).T  # (dim, k)
+
+    @F.pandas_udf(T.DoubleType())
+    def _quality(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=float)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series((M @ C).max(axis=1))
+
+    return _quality
+
+
 def ann_topk_ivf(
     vectors: DataFrame,
     queries: DataFrame,

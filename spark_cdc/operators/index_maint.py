@@ -559,8 +559,25 @@ class MaintainedVectorCodes:
     """IVF+PQ code table that follows its vector corpus via the change
     feed — the serving-tier index (skinny ``(vec_id, list_id, codes)``
     rows) stays current under re-crawls without re-encoding the whole
-    corpus. Quantizers are frozen at construction; retrain+rebuild is a
-    separate explicit operation (:meth:`rebuild`)."""
+    corpus. Quantizers are frozen at construction; :meth:`retrain`
+    versions them and refreshes the codes when drift demands it.
+
+    **Drift monitoring** (the FAISS-operations problem every serving
+    tier has: frozen codebooks silently lose recall as the corpus
+    distribution shifts): each poll measures the mean nearest-centroid
+    cosine similarity of the batch's re-encoded vectors
+    (:func:`spark_cdc.operators.ann.ivf_assign_quality_udf`) — an
+    O(change set) aggregate — and folds it into an EWMA stored in the
+    SAME guarded commit as the codes. The first maintained batch
+    (normally the bootstrap insert-all) sets the training-time
+    baseline. :meth:`drift_status` compares EWMA to baseline and adds
+    a list-size imbalance check; :meth:`retrain` trains fresh
+    quantizers on the current corpus, re-encodes everything, resets
+    the baseline and bumps the codebook version — all in one commit.
+    """
+
+    QUANT_PROP = "quantizer"
+    EWMA_ALPHA = 0.3
 
     def __init__(
         self,
@@ -580,13 +597,55 @@ class MaintainedVectorCodes:
         self.id_col = id_col
         self.source_id = source_id
 
+    def _batch_quality(self, upserts: DataFrame) -> tuple[int, float | None]:
+        """(count, mean nearest-centroid cosine) of a change batch's
+        new/updated vectors — bounded by the change set."""
+        from spark_cdc.operators.ann import ivf_assign_quality_udf
+
+        row = upserts.select(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(
+                ivf_assign_quality_udf(self.centroids)(
+                    F.col(self.vec_col).cast("array<double>")
+                )
+            ).alias("sim"),
+        ).first()
+        n = int(row["n"] or 0)
+        return n, (float(row["sim"]) if row["sim"] is not None else None)
+
+    def _quality_props(self, n: int, sim: float | None) -> dict:
+        """Next drift-state properties after observing a batch quality
+        sample. Baseline fixes on the FIRST observed batch (bootstrap
+        insert-all ≈ training distribution); later batches move the
+        EWMA only."""
+        q = dict(self.table.properties.get(self.QUANT_PROP) or {})
+        q.setdefault("version", 1)
+        if sim is not None and n > 0:
+            if q.get("baseline_sim") is None:
+                q["baseline_sim"] = sim
+                q["ewma_sim"] = sim
+            else:
+                a = self.EWMA_ALPHA
+                q["ewma_sim"] = a * sim + (1 - a) * float(
+                    q.get("ewma_sim", sim)
+                )
+            q["last_sim"] = sim
+            q["last_n"] = n
+        return {self.QUANT_PROP: q}
+
     def poll_apply(self) -> bool:
         got = self.consumer.poll()
         if got is None:
             return False
         diff, to_snap = got
+        diff = diff.localCheckpoint()
         changes = vector_codes_changes(
             diff, to_snap, self.centroids, self.codebooks, self.vec_col, self.id_col
+        )
+        n, sim = self._batch_quality(
+            diff.where(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).select(F.col(self.vec_col))
         )
         apply_batch(
             self.table,
@@ -595,9 +654,97 @@ class MaintainedVectorCodes:
             source_id=self.source_id,
             collect_lineage=False,
             collect_stats=False,
+            extra_properties=self._quality_props(n, sim),
         )
         self.consumer.commit(to_snap)
         return True
+
+    def drift_status(self, sim_drop: float = 0.05,
+                     imbalance_factor: float = 4.0) -> dict:
+        """Serving-health snapshot. ``drifted`` trips when the EWMA of
+        per-batch assignment similarity has fallen more than
+        ``sim_drop`` below the baseline, OR the fullest IVF list holds
+        more than ``imbalance_factor`` × the mean list size (a shifted
+        corpus piling into few cells degrades probe selectivity even
+        if similarity holds). The similarity signal is maintained
+        per-poll (no scan here); the list histogram is ONE groupBy over
+        the skinny codes table — a monitoring call, not a query-path
+        cost."""
+        q = dict(self.table.properties.get(self.QUANT_PROP) or {})
+        sizes = [
+            int(r["n"])
+            for r in self.read()
+            .groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        mean_sz = (sum(sizes) / len(sizes)) if sizes else 0.0
+        imbalance = (max(sizes) / mean_sz) if sizes and mean_sz else 0.0
+        base, ewma = q.get("baseline_sim"), q.get("ewma_sim")
+        sim_drifted = (
+            base is not None and ewma is not None and (base - ewma) > sim_drop
+        )
+        return {
+            "version": q.get("version", 1),
+            "baseline_sim": base,
+            "ewma_sim": ewma,
+            "last_sim": q.get("last_sim"),
+            "sim_drifted": sim_drifted,
+            "list_imbalance": round(imbalance, 2),
+            "imbalance_drifted": bool(imbalance > imbalance_factor),
+            "drifted": bool(sim_drifted or imbalance > imbalance_factor),
+        }
+
+    def retrain(self, vectors: DataFrame | None = None,
+                seed: int = 42, sample_size: int = 10_000) -> int:
+        """Train FRESH quantizers on the current corpus distribution
+        (same deterministic hash-ordered samplers as the originals,
+        same shape parameters inferred from the frozen ones), re-encode
+        every vector, and bump the codebook version — baseline/EWMA
+        reset to the post-retrain distribution in the same commit.
+        Returns the new version. Uses ``rebuild(batch_id=None)``: the
+        corpus head is unchanged, so the exactly-once guard must be
+        bypassed (re-running a retrain is content-idempotent)."""
+        import numpy as np
+
+        from spark_cdc.operators.ann import (
+            train_ivf_centroids,
+            train_pq_codebooks,
+        )
+
+        self.consumer.table.refresh()
+        if vectors is None:
+            vectors = self.consumer.table.read().select(
+                F.col(self.id_col), F.col(self.vec_col)
+            )
+        dim = len(self.centroids[0])
+        n_lists = len(self.centroids)
+        m, n_codes, _sub = np.asarray(self.codebooks).shape
+        self.centroids = train_ivf_centroids(
+            vectors, dim, n_lists=n_lists, seed=seed,
+            sample_size=sample_size, id_col=self.id_col, vec_col=self.vec_col,
+        )
+        self.codebooks = train_pq_codebooks(
+            vectors, dim, m=int(m), n_codes=int(n_codes), seed=seed,
+            sample_size=sample_size, id_col=self.id_col, vec_col=self.vec_col,
+        )
+        n, sim = self._batch_quality(vectors.select(F.col(self.vec_col)))
+        q = dict(self.table.properties.get(self.QUANT_PROP) or {})
+        new_version = int(q.get("version", 1)) + 1
+        self.rebuild(
+            vectors=vectors,
+            batch_id=None,
+            extra_properties={
+                self.QUANT_PROP: {
+                    "version": new_version,
+                    "baseline_sim": sim,
+                    "ewma_sim": sim,
+                    "last_sim": sim,
+                    "last_n": n,
+                }
+            },
+        )
+        return new_version
 
     def catch_up(self) -> int:
         n = 0
@@ -609,7 +756,8 @@ class MaintainedVectorCodes:
         return self.table.read().select("vec_id", "list_id", "codes")
 
     def rebuild(self, vectors: DataFrame | None = None,
-                batch_id: int | object = _HEAD) -> None:
+                batch_id: int | object = _HEAD,
+                extra_properties: dict | None = None) -> None:
         """Full re-encode with the frozen quantizers (FeedExpired
         recovery via :func:`follow_index`, post-retrain refresh, or
         bootstrap): one insert batch replacing every key, plus
@@ -667,5 +815,6 @@ class MaintainedVectorCodes:
             source_id=self.source_id,
             collect_lineage=False,
             collect_stats=False,
+            extra_properties=extra_properties,
         )
         self.consumer.commit(to_snap)

@@ -606,3 +606,95 @@ def test_codes_rebuild_redelivery_noop(spark, tmp_path):
     assert {r["vec_id"]: (r["list_id"], tuple(r["codes"]))
             for r in maint.read().collect()} == codes_after
     assert maint.consumer.position() == vt.snapshot_id
+
+
+def test_quantizer_drift_detection_and_versioned_retrain(spark, tmp_path):
+    """FAISS-operations contract: a re-crawl that shifts the embedding
+    distribution must TRIP the drift signal (per-poll assignment
+    similarity EWMA falls below the training-time baseline, maintained
+    in the same guarded commit as the codes), and retrain() must train
+    fresh quantizers on the current corpus, re-encode everything, bump
+    the codebook version, reset the baseline — and restore
+    ann_topk_ivfpq == exact on the shifted fixture."""
+    from spark_cdc.operators import ann
+    from spark_cdc.sources.changelog import generate_embeddings
+
+    dim = 32
+    A = generate_embeddings(spark, n_vectors=400, dim=dim, n_clusters=4,
+                            noise=0.05, seed=1)
+    B = generate_embeddings(spark, n_vectors=400, dim=dim, n_clusters=4,
+                            noise=0.05, seed=99).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    vs = T.StructType([
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ])
+    vt = LakeTable.create(spark, str(tmp_path / "v"), vs,
+                          key_columns=["vec_id"], num_buckets=4)
+    ct = LakeTable.create(spark, str(tmp_path / "c"), CODES_SCHEMA,
+                          key_columns=CODES_KEYS, num_buckets=4)
+    adf = A.select("vec_id", "embedding")
+    cents = ann.train_ivf_centroids(adf, dim, n_lists=4, seed=7, sample_size=400)
+    books = ann.train_pq_codebooks(adf, dim, m=8, n_codes=16, seed=7,
+                                   sample_size=400)
+    maint = MaintainedVectorCodes(
+        ct, ChangeFeedConsumer(vt, str(tmp_path / "cur")), cents, books)
+
+    def env(df, i, op="c"):
+        return df.select(
+            F.col("vec_id").alias("lsn"), F.lit(i).cast("long").alias("op_seq"),
+            F.lit(op).alias("op"), "vec_id", "embedding",
+            F.timestamp_seconds(F.lit(i)).alias("ts"))
+
+    apply_batch(vt, env(adf, 0), batch_id=0, collect_lineage=False)
+    maint.catch_up()
+    st0 = maint.drift_status()
+    assert not st0["drifted"] and st0["version"] == 1
+    assert st0["baseline_sim"] > 0.95  # tight clusters near own centroid
+    # the re-crawl: a second population from DIFFERENT cluster centers
+    apply_batch(vt, env(B, 1), batch_id=1, collect_lineage=False)
+    maint.catch_up()
+    st1 = maint.drift_status()
+    assert st1["last_sim"] < st1["baseline_sim"] - 0.3  # far from frozen cells
+    assert st1["sim_drifted"] and st1["drifted"]
+    assert st1["version"] == 1  # drift detected, quantizers still frozen
+
+    v = maint.retrain(sample_size=800)
+    assert v == 2
+    st2 = maint.drift_status()
+    assert not st2["drifted"] and st2["version"] == 2
+    assert st2["baseline_sim"] == st2["ewma_sim"]  # baseline reset
+    # retrained serving == exact brute force on the shifted corpus
+    corpus = vt.read().select("vec_id", "embedding")
+    queries = B.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in ann.cosine_topk(corpus, queries, k=5,
+                                      score_arrow=False).collect()}
+    got = {(r["query_id"], r["rank"]): r["vec_id"]
+           for r in ann.ann_topk_ivfpq(
+               corpus, queries, dim=dim, k=5, n_lists=4, nprobe=1,
+               m=8, n_codes=16, shortlist=150,
+               centroids=maint.centroids, codebooks=maint.codebooks,
+               score_arrow=False).collect()}
+    assert got == exact
+    # maintained codes equal a wholesale re-encode with the v2 quantizers
+    from spark_cdc.operators.index_maint import vector_codes_changes
+
+    want = {r["vec_id"]: (r["list_id"], tuple(r["codes"]))
+            for r in vector_codes_changes(
+                corpus.withColumn("_change_type", F.lit("insert")),
+                99, maint.centroids, maint.codebooks,
+            ).where(F.col("op") == "c")
+            .select("vec_id", "list_id", "codes").collect()}
+    have = {r["vec_id"]: (r["list_id"], tuple(r["codes"]))
+            for r in maint.read().collect()}
+    assert have == want
+    # post-retrain polls keep the signal healthy against the NEW baseline
+    more = generate_embeddings(spark, n_vectors=100, dim=dim, n_clusters=4,
+                               noise=0.05, seed=99).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding")
+    apply_batch(vt, env(more, 2), batch_id=2, collect_lineage=False)
+    maint.catch_up()
+    assert not maint.drift_status()["sim_drifted"]
