@@ -13,8 +13,11 @@
   nearest-neighbour search, plus partitioned codes-only serving
   layouts
 - search: BM25 lexical retrieval over an inverted-index DataFrame
-- index_maint: feed-driven incremental maintenance of BM25 postings,
-  IVF/PQ code tables and generic keyed projections (CDC-live indexes)
+  (single-query and one-pass batch-query forms)
+- index_maint: feed-driven incremental maintenance of BM25 postings
+  (servable token-bucketed layout, maintained corpus stats), IVF/PQ
+  code tables (quantizer-drift monitoring + versioned retrain) and
+  generic keyed projections (CDC-live indexes)
 - sampling: deterministic hash splits, context-window chunking (with
   a model-exact tokenizer hook) and greedy sample packing
 - multimodal: binary-column plumbing with REAL pure-numpy codecs

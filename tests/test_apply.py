@@ -214,3 +214,31 @@ def test_zipf_changelog_replay_correct_under_skew(spark, tmp_table_path):
     want = want.select(*got.columns)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_jdbc_incremental_options_pushdown_and_partitioning():
+    """The JDBC extract layer (reference pipeline.py:17-51 analogue):
+    watermark predicate pushed into the source subquery, horizon bounds
+    the cycle and enables a partitioned parallel extract; odd
+    identifiers fail loudly instead of being dialect-guessed."""
+    import pytest as _pytest
+
+    from spark_cdc.sources.jdbc import incremental_read_options
+
+    opts = incremental_read_options("public.events", "lsn", 41, horizon=1000,
+                                    num_partitions=4, fetchsize=500)
+    assert opts["dbtable"] == (
+        "(SELECT * FROM public.events WHERE lsn > 41 AND lsn <= 1041) src"
+    )
+    assert opts["partitionColumn"] == "lsn"
+    assert opts["lowerBound"] == "42" and opts["upperBound"] == "1041"
+    assert opts["numPartitions"] == "4" and opts["fetchsize"] == "500"
+    # steady-state increment without a horizon: single partition, no
+    # range options (nothing to split on)
+    opts2 = incremental_read_options("events", "lsn", -1)
+    assert "partitionColumn" not in opts2
+    assert opts2["dbtable"] == "(SELECT * FROM events WHERE lsn > -1) src"
+    with _pytest.raises(ValueError):
+        incremental_read_options("events; DROP TABLE x", "lsn", 0)
+    with _pytest.raises(ValueError):
+        incremental_read_options("events", "lsn OR 1=1", 0)
