@@ -275,7 +275,7 @@ def main() -> None:
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
     with open(os.path.join(HERE, "BENCH", "scaling_latest.json"), "w") as f:
         json.dump(report, f, indent=1)
-    with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(HERE, "BENCH", "scaling_report.md"), "w") as f:
         f.write(
             "# BENCH/BASELINE — CDC replay throughput & N→4N scaling\n\n"
             "Per the driver instruction (no real cluster in this sandbox), "
@@ -351,7 +351,7 @@ def main() -> None:
                 f"({ceiling:.3f}) = "
                 f"**{sf1_report['scaling_efficiency_vs_hardware_ceiling']:.3f}**\n"
             )
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/scaling_report.md")
 
 
 if __name__ == "__main__":
