@@ -28,19 +28,36 @@ def compact(
     table: LakeTable,
     max_files_per_bucket: int = 4,
     drop_tombstones: bool = False,
+    fold_all_deltas: bool = True,
 ) -> list[int]:
     """Rewrite over-fragmented buckets into one file each. Returns the
     bucket ids compacted. State-preserving (tested): read() before ==
-    read() after."""
+    read() after.
+
+    ``fold_all_deltas=True`` (default) folds EVERY delta-carrying
+    (merge-on-read) bucket back to single-version — the full-restore
+    semantics streaming callers relied on. ``False`` is the steady-state
+    maintenance policy: a delta bucket compacts only once its file count
+    exceeds ``max_files_per_bucket``, so each compaction pass rewrites
+    O(fragmented buckets), not O(table) — lightly-touched buckets keep
+    their (prunable, still-correct) delta files until they accumulate
+    enough to be worth rewriting, the same incremental part-merge
+    discipline as ClickHouse background merges / Iceberg binpack
+    rewrite_data_files."""
+    deltas = {int(b) for b in table.manifest.get("delta_buckets", [])}
+    if not fold_all_deltas:
+        deltas = {
+            b
+            for b in deltas
+            if len(table.manifest["files"].get(str(b), [])) > max_files_per_bucket
+        }
     fragmented = sorted(
         {
             int(b)
             for b, files in table.manifest["files"].items()
             if len(files) > max_files_per_bucket
         }
-        # delta-carrying buckets (merge-on-read) always compact: folding
-        # them back to single-version restores cheap reads
-        | {int(b) for b in table.manifest.get("delta_buckets", [])}
+        | deltas
     )
     if not fragmented:
         return []

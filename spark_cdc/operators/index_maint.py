@@ -180,7 +180,54 @@ def bm25_stats_delta(diff: DataFrame, text_col: str = "text") -> tuple[int, int]
     return int(row["dn"] or 0), int(row["ddl"] or 0)
 
 
-class MaintainedBM25Index:
+class _MorMaintenance:
+    """Shared write-amplification discipline for maintained indexes.
+
+    A CDC poll's change set scatters across the index's hash-bucket
+    space — by token for postings, by id for projections/codes — so as
+    soon as a poll touches more keys than there are buckets, a
+    copy-on-write merge rewrites O(index) per poll. The scalable
+    steady state is merge-on-read polls (O(change set) delta appends;
+    probes stay pruned because delta files carry the same per-file
+    bucket-column range stats, and reads resolve latest-version on the
+    fly) plus a SELECTIVE compaction every ``compact_every`` polls that
+    folds only buckets which accumulated > ``compact_max_files`` files
+    (``fold_all_deltas=False``) — the ClickHouse background-merge /
+    Iceberg binpack discipline. The poll counter is in-memory: a
+    service restart shifts the next compaction by at most one cycle.
+    """
+
+    def _init_compaction(
+        self,
+        merge_mode: str,
+        compact_every: int | None,
+        compact_max_files: int,
+    ) -> None:
+        self.merge_mode = merge_mode
+        self.compact_every = compact_every
+        self.compact_max_files = compact_max_files
+        self._polls_since_compact = 0
+
+    def _maybe_compact(self) -> list[int]:
+        """Runs AFTER the cursor commit: compaction is state-preserving
+        and carries no batch id, so a crash around it can neither lose
+        nor double-apply a change batch."""
+        if self.merge_mode != "mor" or not self.compact_every:
+            return []
+        self._polls_since_compact += 1
+        if self._polls_since_compact < self.compact_every:
+            return []
+        from spark_cdc.lake.maintenance import compact
+
+        self._polls_since_compact = 0
+        return compact(
+            self.table,
+            max_files_per_bucket=self.compact_max_files,
+            fold_all_deltas=False,
+        )
+
+
+class MaintainedBM25Index(_MorMaintenance):
     """BM25 inverted index that follows its corpus table via the
     change feed — poll → retract+insert postings MERGE → commit
     cursor. ``scores``/``topk`` serve queries straight from the
@@ -209,12 +256,16 @@ class MaintainedBM25Index:
         text_col: str = "text",
         id_col: str = "doc_id",
         source_id: str = "bm25_maint",
+        merge_mode: str = "mor",
+        compact_every: int | None = 8,
+        compact_max_files: int = 8,
     ):
         self.table = index_table
         self.consumer = consumer
         self.text_col = text_col
         self.id_col = id_col
         self.source_id = source_id
+        self._init_compaction(merge_mode, compact_every, compact_max_files)
 
     def poll_apply(self) -> bool:
         """One poll; False when caught up. Crash-safe: the merge's
@@ -239,11 +290,13 @@ class MaintainedBM25Index:
             source_id=self.source_id,
             collect_lineage=False,
             collect_stats=False,
+            mode=self.merge_mode,
             extra_properties={
                 self.STATS_PROP: {"n_docs": n0 + dn, "sum_dl": s0 + ddl}
             },
         )
         self.consumer.commit(to_snap)
+        self._maybe_compact()
         return True
 
     def stats_raw(self) -> tuple[int, int]:
@@ -424,7 +477,7 @@ def follow_index(
     return polls
 
 
-class MaintainedProjection:
+class MaintainedProjection(_MorMaintenance):
     """Generic CDC-live derived table: any deterministic ROW-WISE keyed
     projection of a corpus table (one output row per input key), kept
     current through the change feed — upserted keys re-projected,
@@ -448,12 +501,16 @@ class MaintainedProjection:
         project,
         id_col: str = "doc_id",
         source_id: str = "proj_maint",
+        merge_mode: str = "mor",
+        compact_every: int | None = 8,
+        compact_max_files: int = 8,
     ):
         self.table = proj_table
         self.consumer = consumer
         self.project = project
         self.id_col = id_col
         self.source_id = source_id
+        self._init_compaction(merge_mode, compact_every, compact_max_files)
 
     def _changes(self, diff: DataFrame, ordinal: int) -> DataFrame:
         up = diff.where(F.col("_change_type").isin("insert", "update_postimage"))
@@ -479,8 +536,10 @@ class MaintainedProjection:
             source_id=self.source_id,
             collect_lineage=False,
             collect_stats=False,
+            mode=self.merge_mode,
         )
         self.consumer.commit(to_snap)
+        self._maybe_compact()
         return True
 
     def catch_up(self) -> int:
@@ -555,7 +614,7 @@ def vector_codes_changes(
     )
 
 
-class MaintainedVectorCodes:
+class MaintainedVectorCodes(_MorMaintenance):
     """IVF+PQ code table that follows its vector corpus via the change
     feed — the serving-tier index (skinny ``(vec_id, list_id, codes)``
     rows) stays current under re-crawls without re-encoding the whole
@@ -588,6 +647,9 @@ class MaintainedVectorCodes:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         source_id: str = "codes_maint",
+        merge_mode: str = "mor",
+        compact_every: int | None = 8,
+        compact_max_files: int = 8,
     ):
         self.table = codes_table
         self.consumer = consumer
@@ -596,6 +658,7 @@ class MaintainedVectorCodes:
         self.vec_col = vec_col
         self.id_col = id_col
         self.source_id = source_id
+        self._init_compaction(merge_mode, compact_every, compact_max_files)
 
     def _batch_quality(self, upserts: DataFrame) -> tuple[int, float | None]:
         """(count, mean nearest-centroid cosine) of a change batch's
@@ -654,9 +717,11 @@ class MaintainedVectorCodes:
             source_id=self.source_id,
             collect_lineage=False,
             collect_stats=False,
+            mode=self.merge_mode,
             extra_properties=self._quality_props(n, sim),
         )
         self.consumer.commit(to_snap)
+        self._maybe_compact()
         return True
 
     def drift_status(self, sim_drop: float = 0.05,

@@ -698,3 +698,91 @@ def test_quantizer_drift_detection_and_versioned_retrain(spark, tmp_path):
     apply_batch(vt, env(more, 2), batch_id=2, collect_lineage=False)
     maint.catch_up()
     assert not maint.drift_status()["sim_drifted"]
+
+
+def test_mor_polls_append_deltas_probe_still_prunes(spark, tmp_path):
+    """The default poll mode is merge-on-read: each poll appends
+    O(change set) delta files instead of rewriting every token bucket
+    (a diverse doc batch touches most of the token hash space, so CoW
+    would be an O(index) rewrite per poll). With compaction disabled,
+    polls must leave delta-flagged buckets behind — and the query
+    probe must STILL prune files (delta files carry the same per-file
+    token range stats) and score identically to a corpus recompute."""
+    from spark_cdc.operators.index_maint import create_bm25_index_table
+
+    base = str(tmp_path)
+    docs = LakeTable.create(
+        spark, os.path.join(base, "docs"), DOCS_SCHEMA,
+        key_columns=["doc_id"], num_buckets=4,
+    )
+    idx = create_bm25_index_table(spark, os.path.join(base, "bm25"), num_buckets=8)
+    maint = MaintainedBM25Index(
+        idx, ChangeFeedConsumer(docs, os.path.join(base, "cursor")),
+        compact_every=None,
+    )
+    assert maint.merge_mode == "mor"
+    for i, rows in enumerate(
+        [_texts(40), [(j, f"updated zeta w{j}") for j in range(0, 40, 7)],
+         [(j, None) for j in range(0, 40, 11)]]
+    ):
+        apply_batch(docs, _env(spark, rows, i, "d" if i == 2 else "c"),
+                    batch_id=i, collect_lineage=False)
+        maint.catch_up()
+    assert maint.table.manifest.get("delta_buckets"), "MoR polls must leave deltas"
+    total = len(idx.selected_files())
+    probed = len(idx.selected_files(buckets=idx.buckets_for(["alpha"]),
+                                    key_in=["alpha"]))
+    assert 0 < probed < total
+    want = {r["doc_id"]: round(r["score"], 9)
+            for r in bm25_scores(
+                None, "alpha zeta",
+                index=bm25_index(docs.read().select("doc_id", "text")),
+            ).collect()}
+    got = {r["doc_id"]: round(r["score"], 9)
+           for r in maint.scores("alpha zeta").collect()}
+    assert got == want
+
+
+def test_selective_compaction_folds_only_fragmented_buckets(spark, tmp_path):
+    """Every ``compact_every`` polls the maintenance loop folds ONLY
+    buckets that accumulated more than ``compact_max_files`` files
+    (fold_all_deltas=False) — steady-state maintenance is O(change
+    set) per poll + an amortized O(fragmented) rewrite, never O(index).
+    State must keep equalling a from-scratch rebuild through the fold,
+    and lightly-touched delta buckets must survive untouched."""
+    from spark_cdc.operators.index_maint import create_bm25_index_table
+
+    base = str(tmp_path)
+    docs = LakeTable.create(
+        spark, os.path.join(base, "docs"), DOCS_SCHEMA,
+        key_columns=["doc_id"], num_buckets=4,
+    )
+    idx = create_bm25_index_table(spark, os.path.join(base, "bm25"), num_buckets=8)
+    maint = MaintainedBM25Index(
+        idx, ChangeFeedConsumer(docs, os.path.join(base, "cursor")),
+        compact_every=3, compact_max_files=2,
+    )
+    batches = [
+        (0, "c", _texts(40)),
+        (1, "c", [(j, f"updated zeta w{j}") for j in range(0, 40, 5)]),
+        (2, "c", [(j, f"again eta w{j}") for j in range(0, 40, 5)]),
+    ]
+    for i, op, rows in batches:
+        apply_batch(docs, _env(spark, rows, i, op), batch_id=i,
+                    collect_lineage=False)
+        maint.catch_up()
+    # the third poll tripped the policy: some buckets folded, and NO
+    # remaining delta bucket exceeds the file threshold
+    files = maint.table.manifest["files"]
+    deltas = {int(b) for b in maint.table.manifest.get("delta_buckets", [])}
+    assert all(len(files.get(str(b), [])) <= 2 for b in deltas), (
+        "a fragmented bucket survived selective compaction"
+    )
+    folded = set(range(maint.table.num_buckets)) - deltas
+    assert folded, "compaction folded nothing"
+    maintained = maint.read()
+    rebuilt = bm25_index(docs.read().select("doc_id", "text")).select(
+        "doc_id", "token", "tf", "dl"
+    )
+    assert maintained.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(maintained).count() == 0

@@ -84,3 +84,48 @@ def test_expire_snapshots_removes_orphan_write_dirs(spark, tmp_path):
     expire_snapshots(table, keep_last=2)
     assert not os.path.exists(orphan)
     assert table.read().count() == before  # live data untouched
+
+
+def test_compact_selective_delta_policy(spark, tmp_path):
+    """fold_all_deltas=False is the steady-state maintenance policy: a
+    delta (merge-on-read) bucket compacts only once its file count
+    exceeds the threshold, so a pass rewrites O(fragmented buckets) —
+    lightly-touched delta buckets keep their files AND their delta
+    flag, and reads stay correct through both the partial and the
+    final full fold."""
+    from spark_cdc.cdc.apply import replay_changes_df
+
+    log = generate_change_log(spark, n_events=1200, n_convs=12, seed=9,
+                              pct_delete=0.0).cache()
+    table = LakeTable.create(spark, str(tmp_path / "t"), PAYLOAD_SCHEMA,
+                             key_columns=KEY_COLUMNS, num_buckets=2)
+    # batches 0-2 touch all conversations (delta files in BOTH buckets);
+    # batches 3-5 are restricted to one conversation, fragmenting ONLY
+    # its bucket past the threshold
+    for i in range(3):
+        b = log.where((F.col("lsn") % 3) == i)
+        apply_batch(table, b, batch_id=i, collect_lineage=False, mode="mor")
+    hot = log.where(F.col("conv_id") == "conv-0")
+    for i in range(3, 6):
+        b = hot.where((F.col("lsn") % 3) == i - 3).withColumn(
+            "lsn", F.col("lsn") + i * 10_000
+        ).withColumn("op_seq", F.col("op_seq") + i * 10_000)
+        apply_batch(table, b, batch_id=i, collect_lineage=False, mode="mor")
+    per_bucket = {int(b): len(fl) for b, fl in table.manifest["files"].items()}
+    assert max(per_bucket.values()) > 4 >= min(per_bucket.values()), per_bucket
+    before = sorted(tuple(r) for r in table.read().collect())
+
+    folded = compact(table, max_files_per_bucket=4, fold_all_deltas=False)
+    deltas = {int(b) for b in table.manifest.get("delta_buckets", [])}
+    assert folded and set(folded).isdisjoint(deltas)
+    assert deltas, "the lightly-touched delta bucket must survive the pass"
+    assert all(
+        len(table.manifest["files"].get(str(b), [])) <= 4 for b in deltas
+    )
+    assert sorted(tuple(r) for r in table.read().collect()) == before
+
+    # the default full fold clears every delta flag; state still equals
+    # the one-shot replay oracle
+    compact(table, max_files_per_bucket=1, fold_all_deltas=True)
+    assert not table.manifest.get("delta_buckets")
+    assert sorted(tuple(r) for r in table.read().collect()) == before
