@@ -197,6 +197,8 @@ class _MorMaintenance:
     service restart shifts the next compaction by at most one cycle.
     """
 
+    auto_rebuild = False
+
     def _init_compaction(
         self,
         merge_mode: str,
@@ -207,6 +209,26 @@ class _MorMaintenance:
         self.compact_every = compact_every
         self.compact_max_files = compact_max_files
         self._polls_since_compact = 0
+
+    def on_batch(self, batch_id: int | None = None, res=None) -> None:
+        """Plug into ``StreamRunner(on_batch=...)`` — after every merged
+        micro-batch the index drains the corpus table's change feed, so
+        search/ANN serving stays in lockstep with ingest (the index twin
+        of :meth:`spark_cdc.operators.ivm.MaintainedView.on_batch`).
+        Crash-safe for the same reasons: the feed cursor and the merge's
+        batch-id guard make redelivered maintenance idempotent, and a
+        crash between table commit and index maintenance is healed by
+        the next batch's drain. Set ``self.auto_rebuild = True`` to
+        self-heal a retention-lapped cursor via :meth:`rebuild` instead
+        of raising ``FeedExpiredError`` into the stream."""
+        from spark_cdc.lake.feed import FeedExpiredError
+
+        try:
+            self.catch_up()
+        except FeedExpiredError:
+            if not self.auto_rebuild:
+                raise
+            self.rebuild()
 
     def _maybe_compact(self) -> list[int]:
         """Runs AFTER the cursor commit: compaction is state-preserving

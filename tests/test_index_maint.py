@@ -786,3 +786,64 @@ def test_selective_compaction_folds_only_fragmented_buckets(spark, tmp_path):
     )
     assert maintained.exceptAll(rebuilt).count() == 0
     assert rebuilt.exceptAll(maintained).count() == 0
+
+
+def test_bm25_index_maintained_on_stream(spark, tmp_path):
+    """A maintained BM25 index plugged into the streaming runner's
+    on_batch hook stays in lockstep with the corpus table the stream
+    merges into — the search-serving twin of MaintainedView-on-ingest.
+    Exercises the full loop: micro-batch merge → feed drain → MoR
+    postings merge (+ in-stream selective compaction)."""
+    from spark_cdc.operators.index_maint import create_bm25_index_table
+    from spark_cdc.streaming import StreamRunner
+
+    base = str(tmp_path)
+    src_dir = os.path.join(base, "changelog")
+    batches = [
+        _env(spark, _texts(30), 0, "c"),
+        _env(spark, [(i, f"updated zeta w{i}") for i in range(0, 30, 7)], 1, "c"),
+        _env(spark, [(i, None) for i in range(0, 30, 11)], 2, "d"),
+    ]
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src_dir)
+    docs = LakeTable.create(
+        spark, os.path.join(base, "docs"), DOCS_SCHEMA,
+        key_columns=["doc_id"], num_buckets=4,
+    )
+    idx = create_bm25_index_table(spark, os.path.join(base, "bm25"), num_buckets=8)
+    maint = MaintainedBM25Index(
+        idx, ChangeFeedConsumer(docs, os.path.join(base, "cursor")),
+        compact_every=2, compact_max_files=1,
+    )
+    stream_schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("op_seq", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    runner = StreamRunner(
+        spark, docs, src_dir, os.path.join(base, "ckpt"),
+        schema=stream_schema, max_files_per_trigger=1,
+        on_batch=maint.on_batch,
+    )
+    runner.run_available()
+    assert len(runner.results) >= 2
+    # the stream really merged the docs corpus (keyed, not degenerate)
+    assert docs.read().where(F.col("doc_id").isNull()).count() == 0
+    assert docs.read().count() > 20
+    maintained = maint.read()
+    rebuilt = bm25_index(docs.read().select("doc_id", "text")).select(
+        "doc_id", "token", "tf", "dl"
+    )
+    assert maintained.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(maintained).count() == 0
+    # stats stayed transactionally consistent through the stream
+    from spark_cdc.operators.search import index_stats
+
+    n_m, avg_m = maint.stats()
+    n_i, avg_i = index_stats(maintained)
+    assert n_m == n_i and abs(avg_m - avg_i) < 1e-9
