@@ -20,6 +20,9 @@
   generic keyed projections (CDC-live indexes)
 - sampling: deterministic hash splits, context-window chunking (with
   a model-exact tokenizer hook) and greedy sample packing
+- temporal: as-of (point-in-time) joins via union + ordered window
+  fill and interval range joins via cell bucketing — the two join
+  families Catalyst would otherwise nested-loop
 - multimodal: binary-column plumbing with REAL pure-numpy codecs
   (PPM/PGM images, PCM-16 WAV; per-row decode_error isolation)
 """

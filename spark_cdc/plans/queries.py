@@ -37,7 +37,7 @@ from spark_cdc.functions.text import (
     quality_score,
     token_count,
 )
-from spark_cdc.operators import ann, dedup_ops, multimodal
+from spark_cdc.operators import ann, dedup_ops, multimodal, temporal
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -116,17 +116,46 @@ def s1_incremental_scan(spark, sf_dir):
 
 
 @query(
-    "p4_derive_event_date",
+    "j_asof_latest_order",
     """
-    SELECT event_id, CAST(ts AS DATE) AS event_date
-    FROM events WHERE event_type = 'click'
+    WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey,
+                      arg_max(o_totalprice, o_orderkey) AS last_totalprice
+               FROM orders GROUP BY 1, 2)
+    SELECT e.event_id AS event_id, e.user_id AS user_id,
+           r.last_orderkey AS last_orderkey,
+           round(r.last_totalprice, 6) AS last_totalprice
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
     """,
 )
-def p4_event_date(spark, sf_dir):
-    """P4: event_date derivation (reference pipeline.py:94-95)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.where(F.col("event_type") == "click").select(
-        "event_id", F.to_date("ts").alias("event_date")
+def j_asof_latest_order(spark, sf_dir):
+    """As-of (point-in-time) join: each event gains the latest order the
+    same user placed at or before the event's timestamp — the
+    "dimension version valid at event time" query a versioned CDC lake
+    answers per-row. Rendered by :func:`spark_cdc.operators.temporal.
+    asof_join` as union + ordered window fill (ONE hash shuffle on the
+    key, no candidate-pair blow-up); the right side is pre-aggregated
+    to unique (custkey, orderdate) keys so tie resolution is
+    deterministic on both engines. Replaces the former standalone
+    ``p4_derive_event_date`` row — P4's ``to_date(ts)`` derivation
+    stays value-checked inside ``kpi_daily_performance``."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("last_orderkey"),
+            F.max_by("o_totalprice", F.col("o_orderkey")).alias("last_totalprice"),
+        )
+    )
+    res = temporal.asof_join(
+        ev, od, on="ts", by=["user_id"], right_on="o_orderdate", right_by=["o_custkey"]
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "last_orderkey",
+        F.round("last_totalprice", 6).alias("last_totalprice"),
     )
 
 

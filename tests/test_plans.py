@@ -21,11 +21,13 @@ def test_watermark_filter_pushed_to_scan(spark):
 
 
 def test_column_pruning_reaches_scan(spark):
-    plan = _plan(spark, "p4_derive_event_date")
-    # only the needed columns in ReadSchema — no props/value/user_id
-    assert "ReadSchema" in plan
-    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
-    assert "props" not in read and "value" not in read
+    # the asof entry selects (event_id, user_id, ts) from events: the
+    # pruned projection must reach every parquet scan — no props/value
+    plan = _plan(spark, "j_asof_latest_order")
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads
+    for read in reads:
+        assert "props" not in read and "value" not in read, read
 
 
 def test_dim_join_is_broadcast(spark):

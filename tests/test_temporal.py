@@ -1,0 +1,352 @@
+"""asof_join / range_join correctness vs DuckDB oracles + scale-shape
+plan asserts.
+
+DuckDB's ``ASOF LEFT JOIN`` is a native engine implementation of the
+same semantics (inclusive match, left rows survive unmatched), so the
+oracle here is a second independent engine — not a reimplementation.
+The plan asserts pin the scale story: the keyed as-of plan contains NO
+join operator at all (union + window fill, one hash shuffle), and the
+range join never degenerates into BroadcastNestedLoopJoin /
+CartesianProduct (the plan Catalyst picks for a raw range predicate).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spark_cdc.operators.temporal import asof_join, range_join
+
+# -- fixtures: deterministic, with exact-tie times, unmatched keys, ----
+# -- and payload-name collisions ---------------------------------------
+
+LEFT = [
+    # (id, k, t, v)  — v collides with a right column name
+    (1, "a", 10.0, "l1"),
+    (2, "a", 15.0, "l2"),
+    (3, "a", 20.0, "l3"),   # exact tie with right (a, 20.0)
+    (4, "a", 3.0, "l4"),    # before any right row for key a
+    (5, "b", 7.0, "l5"),
+    (6, "b", 100.0, "l6"),
+    (7, "c", 50.0, "l7"),   # key with no right rows at all
+    (8, "b", 5.0, "l8"),    # exact tie with right (b, 5.0)
+]
+RIGHT = [
+    # (k, rt, v, w) — unique per (k, rt) so ties resolve the same way
+    ("a", 5.0, 101, 1.5),
+    ("a", 12.0, 102, 2.5),
+    ("a", 20.0, 103, 3.5),
+    ("b", 5.0, 201, 4.5),
+    ("b", 30.0, 202, 5.5),
+    ("d", 1.0, 301, 6.5),   # right-only key
+]
+
+
+def _dfs(spark):
+    l = spark.createDataFrame(LEFT, "id int, k string, t double, v string")
+    r = spark.createDataFrame(RIGHT, "k string, rt double, v int, w double")
+    return l, r
+
+
+def _duck():
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(LEFT, columns=["id", "k", "t", "v"]))
+    con.register("r", pd.DataFrame(RIGHT, columns=["k", "rt", "v", "w"]))
+    return con
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _duck_rows(con, sql, cols):
+    cur = con.execute(sql)
+    idx = {d[0]: i for i, d in enumerate(cur.description)}
+    return sorted(tuple(r[idx[c]] for c in cols) for r in cur.fetchall())
+
+
+COLS = ["id", "k", "t", "v", "v_right", "w"]
+
+
+def test_asof_keyed_backward_matches_duckdb(spark):
+    l, r = _dfs(spark)
+    got = asof_join(l, r, on="t", by=["k"], right_on="rt")
+    assert sorted(got.columns) == sorted(COLS)
+    want = _duck_rows(
+        _duck(),
+        """SELECT l.id, l.k, l.t, l.v, r.v AS v_right, r.w
+           FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t >= r.rt""",
+        COLS,
+    )
+    assert _rows(got, COLS) == want
+
+
+def test_asof_keyed_forward_matches_duckdb(spark):
+    l, r = _dfs(spark)
+    got = asof_join(l, r, on="t", by=["k"], right_on="rt", direction="forward")
+    want = _duck_rows(
+        _duck(),
+        """SELECT l.id, l.k, l.t, l.v, r.v AS v_right, r.w
+           FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t <= r.rt""",
+        COLS,
+    )
+    assert _rows(got, COLS) == want
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    l, r = _dfs(spark)
+    got = asof_join(l, r, on="t", by=["k"], right_on="rt", tolerance=3.0)
+    # oracle: plain ASOF then null out matches farther than 3.0
+    want = _duck_rows(
+        _duck(),
+        """SELECT l.id, l.k, l.t, l.v,
+                  CASE WHEN l.t - r.rt <= 3.0 THEN r.v END AS v_right,
+                  CASE WHEN l.t - r.rt <= 3.0 THEN r.w END AS w
+           FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t >= r.rt""",
+        COLS,
+    )
+    assert _rows(got, COLS) == want
+
+
+def test_asof_keep_right_on_gap_column(spark):
+    l, r = _dfs(spark)
+    got = asof_join(l, r, on="t", by=["k"], right_on="rt", keep_right_on="matched_t")
+    by_id = {r["id"]: r for r in got.collect()}
+    assert by_id[3]["matched_t"] == 20.0  # inclusive tie
+    assert by_id[4]["matched_t"] is None
+    assert by_id[6]["matched_t"] == 30.0
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_unkeyed_bucketed_matches_duckdb(spark, direction):
+    # 200 left points spread over [0, 1000); right rows clustered in
+    # [0, 100) only — with 16 range buckets most buckets hold no right
+    # row, so the boundary-carry path does all the work (backward);
+    # forward exercises the reverse scan where most lefts are unmatched
+    lrows = [(i, float(i * 5 + (i % 3)), "x") for i in range(200)]
+    rrows = [(float(j * 7), 1000 + j) for j in range(15)]  # 0..98
+    l = spark.createDataFrame(lrows, "id int, t double, tag string")
+    r = spark.createDataFrame(rrows, "rt double, rv int")
+    got = asof_join(l, r, on="t", right_on="rt", direction=direction,
+                    num_range_buckets=16)
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(lrows, columns=["id", "t", "tag"]))
+    con.register("r", pd.DataFrame(rrows, columns=["rt", "rv"]))
+    op = ">=" if direction == "backward" else "<="
+    cols = ["id", "t", "tag", "rv"]
+    want = _duck_rows(
+        con, f"SELECT l.id, l.t, l.tag, r.rv FROM l ASOF LEFT JOIN r ON l.t {op} r.rt", cols
+    )
+    assert _rows(got, cols) == want
+
+
+def test_asof_empty_right_side(spark):
+    l, r = _dfs(spark)
+    empty = r.where(F.lit(False))
+    got = asof_join(l, empty, on="t", by=["k"], right_on="rt")
+    rows = got.collect()
+    assert len(rows) == len(LEFT)
+    assert all(r["v_right"] is None and r["w"] is None for r in rows)
+    # unkeyed path with an empty right side must also survive
+    got2 = asof_join(l.drop("k"), empty.drop("k"), on="t", right_on="rt")
+    assert all(r["w"] is None for r in got2.collect())
+
+
+def test_asof_keyed_plan_has_no_join(spark):
+    # the whole point: ONE hash shuffle (union + window), zero join
+    # operators, zero candidate-pair blow-up
+    l, r = _dfs(spark)
+    got = asof_join(l, r, on="t", by=["k"], right_on="rt")
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_asof_collision_without_resolution_raises(spark):
+    l, r = _dfs(spark)
+    r2 = r.withColumn("v_right", F.lit(1))  # suffix target now taken
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(l, r2, on="t", by=["k"], right_on="rt")
+
+
+# -- range join --------------------------------------------------------
+
+POINTS = [
+    (1, "a", 5.0),
+    (2, "a", 15.0),
+    (3, "a", 30.0),   # inside two overlapping intervals
+    (4, "b", 8.0),
+    (5, "b", 200.0),  # matches nothing
+    (6, "c", 1.0),    # key with no intervals
+]
+IVALS = [
+    # (k, s, e, tag)
+    ("a", 0.0, 10.0, "i1"),
+    ("a", 12.0, 35.0, "i2"),
+    ("a", 28.0, 40.0, "i3"),
+    ("a", 50.0, 42.0, "inverted"),  # s > e: dropped
+    ("b", 5.0, 8.0, "i4"),          # inclusive end: point 4 matches
+]
+
+RJ_SQL = """SELECT p.id, p.k, p.t, i.s, i.e, i.tag
+            FROM p {how} JOIN i ON p.k = i.k AND p.t >= i.s AND p.t <= i.e"""
+
+
+def _rj_dfs(spark):
+    p = spark.createDataFrame(POINTS, "id int, k string, t double")
+    i = spark.createDataFrame(IVALS, "k string, s double, e double, tag string")
+    return p, i
+
+
+def _rj_duck():
+    con = duckdb.connect()
+    con.register("p", pd.DataFrame(POINTS, columns=["id", "k", "t"]))
+    con.register("i", pd.DataFrame(IVALS, columns=["k", "s", "e", "tag"]))
+    return con
+
+
+@pytest.mark.parametrize("width", [None, 3.0, 1000.0])
+def test_range_join_inner_matches_sql(spark, width):
+    p, i = _rj_dfs(spark)
+    got = range_join(p, i, on="t", start="s", end="e", by=["k"], bucket_width=width)
+    cols = ["id", "k", "t", "s", "e", "tag"]
+    want = _duck_rows(_rj_duck(), RJ_SQL.format(how=""), cols)
+    assert _rows(got, cols) == want
+
+
+def test_range_join_left_keeps_unmatched_once(spark):
+    p, i = _rj_dfs(spark)
+    got = range_join(
+        p, i, on="t", start="s", end="e", by=["k"], how="left", point_keys=["id"]
+    )
+    cols = ["id", "k", "t", "s", "e", "tag"]
+    want = _duck_rows(_rj_duck(), RJ_SQL.format(how="LEFT"), cols)
+    assert _rows(got, cols) == want
+
+
+def test_range_join_cell_guard_fails_loudly(spark):
+    p, i = _rj_dfs(spark)
+    j = range_join(
+        p, i, on="t", start="s", end="e", by=["k"],
+        bucket_width=0.001, max_cells_per_interval=100,
+    )
+    with pytest.raises(Exception, match="widen bucket_width"):
+        j.collect()
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    p, i = _rj_dfs(spark)
+    got = range_join(p, i, on="t", start="s", end="e", by=["k"])
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_range_join_timestamp_points(spark):
+    # timestamp time columns go through the epoch-seconds cast path
+    p = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:30"), (2, "2024-01-01 02:00:00")],
+        "id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    i = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 01:00:00", "w1")],
+        "s string, e string, tag string",
+    ).select(
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+        "tag",
+    )
+    got = range_join(p, i, on="ts", start="s", end="e")
+    rows = {r["id"]: r["tag"] for r in got.collect()}
+    assert rows == {1: "w1"}
+
+
+# -- property-based: ANY log vs DuckDB ---------------------------------
+#
+# tiny key/time spaces maximize ties (left rows at exactly a right
+# row's time), empty-side and all-unmatched cases; the right side is
+# generated as a dict keyed on (k, t) so rows are unique per key+time
+# and tie resolution is deterministic on both engines
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_keys = st.sampled_from(["a", "b"])
+_times = st.integers(0, 8).map(float)
+
+_left_rows = st.lists(st.tuples(_keys, _times), min_size=0, max_size=14)
+_right_rows = st.dictionaries(
+    st.tuples(_keys, _times), st.integers(0, 99), min_size=0, max_size=10
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    lrows=_left_rows,
+    rrows=_right_rows,
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.sampled_from([None, 2.0]),
+)
+def test_asof_property_any_log_matches_duckdb(spark, lrows, rrows, direction, tolerance):
+    lrows = [(i, k, t) for i, (k, t) in enumerate(lrows)]
+    rrows = [(k, t, v) for (k, t), v in sorted(rrows.items())]
+    l = spark.createDataFrame(lrows, "id int, k string, t double")
+    r = spark.createDataFrame(rrows, "k string, rt double, rv int")
+    got = asof_join(l, r, on="t", by=["k"], right_on="rt",
+                    direction=direction, tolerance=tolerance)
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(lrows, columns=["id", "k", "t"]))
+    con.register("r", pd.DataFrame(rrows, columns=["k", "rt", "rv"]))
+    op, gap = (">=", "l.t - r.rt") if direction == "backward" else ("<=", "r.rt - l.t")
+    guard = f"CASE WHEN {gap} <= {tolerance} THEN r.rv END" if tolerance else "r.rv"
+    cols = ["id", "k", "t", "rv"]
+    want = _duck_rows(
+        con,
+        f"SELECT l.id, l.k, l.t, {guard} AS rv"
+        f" FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t {op} r.rt",
+        cols,
+    )
+    assert _rows(got, cols) == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    prows=_left_rows,
+    irows=st.dictionaries(
+        st.tuples(_keys, _times, _times), st.integers(0, 99), min_size=0, max_size=8
+    ),
+    width=st.sampled_from([None, 0.5, 3.0]),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_range_join_property_any_log_matches_sql(spark, prows, irows, width, how):
+    prows = [(i, k, t) for i, (k, t) in enumerate(prows)]
+    irows = [(k, s, e, v) for (k, s, e), v in sorted(irows.items())]
+    p = spark.createDataFrame(prows, "id int, k string, t double")
+    i = spark.createDataFrame(irows, "k string, s double, e double, tag int")
+    got = range_join(p, i, on="t", start="s", end="e", by=["k"], how=how,
+                     point_keys=["id"] if how == "left" else None,
+                     bucket_width=width)
+    con = duckdb.connect()
+    con.register("p", pd.DataFrame(prows, columns=["id", "k", "t"]))
+    con.register("i", pd.DataFrame(irows, columns=["k", "s", "e", "tag"]))
+    cols = ["id", "k", "t", "s", "e", "tag"]
+    sql_how = "" if how == "inner" else "LEFT"
+    want = _duck_rows(
+        con,
+        f"SELECT p.id, p.k, p.t, i.s, i.e, i.tag FROM p {sql_how} JOIN i"
+        " ON p.k = i.k AND p.t >= i.s AND p.t <= i.e",
+        cols,
+    )
+    assert _rows(got, cols) == want
