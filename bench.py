@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "kpi_user_daily_performance",
     "j6_region_rollup",
     "j1_orders_customer_segment",
+    "j_asof_latest_order",
     "cdc_replay_final_state",
     "text_profile",
     "dedup_minhash_lsh",
