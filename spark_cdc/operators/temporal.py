@@ -25,10 +25,13 @@ candidate pairs:
   sides, union them, and ``last(right_payload, ignorenulls=True)`` over
   ``(key) ORDER BY (time, side)`` — ONE hash shuffle of left+right on
   the key, zero join blow-up, whatever the time-skew between sides.
-  With no key it range-buckets time by quantiles (so the window is
-  per-bucket, never single-partition) and heals bucket boundaries with
-  a driver-bounded per-bucket tail scan broadcast back — the same
-  boundary-exchange idea as Flint's time-series joins.
+  With no key — or with ``bucket_keyed=True`` for hot-key inputs — it
+  range-buckets time by quantiles (so the window is per (key, bucket),
+  never single-partition and never one-partition-per-hot-key) and
+  heals bucket boundaries with a fully distributed carry: per-bucket
+  right-side tails, prefix-scanned by a window over the tiny per-key
+  bucket spine — the same boundary-exchange idea as Flint's
+  time-series joins, with no driver-side collect anywhere.
 - ``range_join`` buckets time into fixed-width cells, explodes each
   interval into the cells it spans, and equi-joins points to cells —
   a plain shuffled hash join Catalyst/AQE can size, with the exact
@@ -50,11 +53,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def _to_double(c):
+def _to_double(c, dtype=None):
     """Orderable numeric view of a time column (timestamp → epoch
-    seconds as double; numerics cast through)."""
+    seconds as double; numerics cast through). TIMESTAMP_NTZ and DATE
+    refuse a direct double cast, so they route through TIMESTAMP —
+    the session-timezone shift this applies is identical on both
+    sides, so ordering, quantile cuts and time *differences*
+    (tolerance) are unaffected."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return c.cast("timestamp").cast("double")
     return c.cast("double")
 
 
@@ -85,6 +95,7 @@ def asof_join(
     suffix: str = "_right",
     keep_right_on: str | None = None,
     num_range_buckets: int = 64,
+    bucket_keyed: bool = False,
 ) -> DataFrame:
     """Point-in-time left join: every ``left`` row gains the single
     ``right`` row that is latest-at-or-before it (``backward``) or
@@ -108,14 +119,19 @@ def asof_join(
     Scale shape: one hash shuffle of left ∪ right on ``by`` (the
     window's partitioning); cost is O((|L|+|R|) log within-key) with
     NO candidate-pair blow-up however mismatched the sides' sizes or
-    time densities. Per-key history must window-sort within its
-    partition — the same per-key bound as sessionization, fine for
-    conversation/user/campaign keys. Without ``by`` the window is
-    per time-range-bucket (``num_range_buckets`` quantile cells over
-    the union, one bounded ``approxQuantile`` job), and left rows
-    before their bucket's first right row are healed from a
-    per-bucket tail aggregate (≤ one row per bucket, broadcast back)
-    — never a single-partition global window.
+    time densities. Per-key history window-sorts within its partition
+    — the same per-key bound as sessionization, fine for typical
+    conversation/user/campaign keys; for Zipf-hot keys (one
+    conversation = 10% of all rows) pass ``bucket_keyed=True`` to
+    sub-partition every key by ``num_range_buckets`` quantile
+    time-cells, bounding any single sort to |key|/buckets. Without
+    ``by`` the same bucketed path engages automatically (never a
+    single-partition global window). Bucket boundaries are healed
+    distributively: the per-(key, bucket) right-side tail aggregate is
+    prefix-scanned by a ``max_by``/``min_by`` window over the bucket
+    spine (≤ ``num_range_buckets`` rows per key) and joined back on
+    (key, bucket) — no driver-side collect, and the join side is
+    spine-sized, not data-sized.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
@@ -130,6 +146,9 @@ def asof_join(
     if keep_right_on:
         if keep_right_on in left.columns or keep_right_on in names.values():
             raise ValueError(f"keep_right_on name {keep_right_on!r} collides")
+
+    on_dt = left.schema[on].dataType
+    ron_dt = right.schema[ron].dataType
 
     fill = F.struct(
         F.col(ron).alias("_on"), *[F.col(c).alias(o) for c, o in names.items()]
@@ -164,60 +183,88 @@ def asof_join(
 
     part_cols = list(lb)
     carry = None
-    if not lb:
-        # unkeyed: quantile range-buckets keep the window distributed
+    if not lb or bucket_keyed:
+        # quantile range-buckets keep every window partition bounded
+        # by |data|/buckets — required when there is no key, opt-in
+        # (bucket_keyed) when keys are Zipf-hot. Cuts come from a
+        # throwaway skinny union of both sides' times (one bounded
+        # approxQuantile job, materialized immediately).
         cuts = (
-            u.select(_to_double(F.col("_asof_on")).alias("_q"))
+            left.select(_to_double(F.col(on), on_dt).alias("_q"))
+            .unionByName(right.select(_to_double(F.col(ron), ron_dt).alias("_q")))
             .na.drop()
             .approxQuantile("_q", [i / num_range_buckets for i in range(1, num_range_buckets)], 0.01)
         )
         cuts = sorted(set(cuts))
-        if cuts:
-            barr = F.array(*[F.lit(c) for c in cuts])
-            u = u.withColumn(
-                "_asof_b",
-                F.size(F.filter(barr, lambda c: c <= _to_double(F.col("_asof_on")))),
-            )
-        else:
-            u = u.withColumn("_asof_b", F.lit(0))
-        part_cols = ["_asof_b"]
-        # boundary heal: the latest (backward) / earliest (forward)
-        # right row per bucket, prefix-scanned driver-side into "the
-        # match carried into bucket b from outside it" — ≤ one row per
-        # bucket, broadcast back
-        agg = F.max_by if backward else F.min_by
-        tails = {
-            r["_asof_b"]: r["_f"]
-            for r in u.where(F.col("_asof_r") == 1)
-            .groupBy("_asof_b")
-            .agg(agg("_asof_fill", _to_double(F.col("_asof_on"))).alias("_f"))
-            .collect()
-        }
-        n_buckets = len(cuts) + 1
-        rows, best = [], None
-        scan = range(n_buckets) if backward else range(n_buckets - 1, -1, -1)
-        for b in scan:
-            if best is not None:
-                rows.append((b, best))
-            t = tails.get(b)
-            if t is not None and (
-                best is None
-                or (backward and t["_on"] > best["_on"])
-                or (not backward and t["_on"] < best["_on"])
-            ):
-                best = t
-        if rows:
-            import pyspark.sql.types as T
 
-            carry = u.sparkSession.createDataFrame(
-                rows,
-                T.StructType(
-                    [
-                        T.StructField("_asof_b", T.IntegerType(), False),
-                        T.StructField("_asof_carry", fill_type, True),
-                    ]
-                ),
+        def _bucket_of(c):
+            # bucket = count of cuts <= t, as a lambda-free sum of
+            # indicators (<= 63 adds). Deliberately NOT the
+            # size(filter(array, lambda)) HOF: a lambda-bearing
+            # projection pushed into a union child makes Catalyst's
+            # alias-equality constraints mis-scope their references,
+            # and any later join over the union dies in
+            # UnionBase.rewriteConstraints (NoSuchElementException)
+            # under PruneFilters.
+            out = F.lit(0)
+            for x in cuts:
+                out = out + F.when(c >= F.lit(x), 1).otherwise(0)
+            return out
+
+        u = u.withColumn("_asof_b", _bucket_of(_to_double(F.col("_asof_on"), on_dt)))
+        part_cols = lb + ["_asof_b"]
+        n_buckets = len(cuts) + 1
+        # distributed boundary heal: buckets partition time into
+        # strictly increasing ranges, so "the match carried into
+        # bucket b from outside it" is the per-(key, earlier-bucket)
+        # right-side tail with the greatest time (backward; least,
+        # forward). Tails aggregate the RIGHT side alone — a lineage
+        # deliberately independent of the union ``u`` (self-joining a
+        # filtered union of parquet sources trips a Catalyst
+        # Union-constraint-rewrite NoSuchElementException under
+        # PruneFilters). The bucket domain is a dense integer range
+        # known on the driver, so the spine is keys-with-tails ×
+        # sequence(0, n_buckets) — empty buckets included, letting one
+        # max_by/min_by window prefix-scan carries across them. The
+        # window sorts spines (<= num_range_buckets rows per key),
+        # never data; the carry join side is spine-sized.
+        agg = F.max_by if backward else F.min_by
+        ext = F.max if backward else F.min
+        r_t = _to_double(F.col(ron), ron_dt)
+        tails = (
+            right.select(
+                *[F.col(r).alias(l) for r, l in zip(rb, lb)],
+                _bucket_of(r_t).alias("_asof_b"),
+                r_t.alias("_rt"),
+                fill,
             )
+            .groupBy(*part_cols)
+            .agg(agg("_asof_fill", F.col("_rt")).alias("_f"), ext("_rt").alias("_fo"))
+        )
+        dense = F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("_asof_b")
+        if lb:
+            spine = tails.select(*lb).distinct().select(*lb, dense)
+        else:
+            spine = right.sparkSession.range(1).select(dense)
+        spine = spine.join(tails, part_cols, "left")
+        if backward:
+            wc = (
+                Window.partitionBy(*lb)
+                .orderBy(F.col("_asof_b").asc())
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            best = F.max_by("_f", "_fo").over(wc)
+        else:
+            wc = (
+                Window.partitionBy(*lb)
+                .orderBy(F.col("_asof_b").asc())
+                .rowsBetween(1, Window.unboundedFollowing)
+            )
+            best = F.min_by("_f", "_fo").over(wc)
+        carry = spine.select(*part_cols, best.alias("_asof_carry"))
+        if not lb:
+            # unkeyed spine is <= num_range_buckets rows total
+            carry = F.broadcast(carry)
 
     w = (
         Window.partitionBy(*part_cols)
@@ -228,14 +275,14 @@ def asof_join(
         F.col("_asof_r") == 0
     )
     if carry is not None:
-        res = res.join(F.broadcast(carry), "_asof_b", "left").withColumn(
+        res = res.join(carry, part_cols, "left").withColumn(
             "_m", F.coalesce("_m", "_asof_carry")
         )
     if tolerance is not None:
         gap = (
-            _to_double(F.col("_asof_on")) - _to_double(F.col("_m._on"))
+            _to_double(F.col("_asof_on"), on_dt) - _to_double(F.col("_m._on"), ron_dt)
             if backward
-            else _to_double(F.col("_m._on")) - _to_double(F.col("_asof_on"))
+            else _to_double(F.col("_m._on"), ron_dt) - _to_double(F.col("_asof_on"), on_dt)
         )
         res = res.withColumn("_m", F.when(gap <= F.lit(float(tolerance)), F.col("_m")))
 
@@ -294,12 +341,20 @@ def range_join(
         intervals.columns, points.columns, set(rb), suffix
     )  # start/end kept as payload (renamed on collision)
 
-    s_d, e_d = _to_double(F.col(start)), _to_double(F.col(end))
+    s_dt = intervals.schema[start].dataType
+    e_dt = intervals.schema[end].dataType
+    on_dt = points.schema[on].dataType
+    s_d, e_d = _to_double(F.col(start), s_dt), _to_double(F.col(end), e_dt)
     if bucket_width is None:
         med, longest = intervals.select((e_d - s_d).alias("_len")).na.drop().approxQuantile(
             "_len", [0.5, 1.0], 0.01
         ) or [1.0, 1.0]
-        bucket_width = max(float(med), float(longest) / max_cells_per_interval, 1e-9)
+        # the longest-interval floor keeps a 2x margin under the cell
+        # guard: at width=longest/max_cells the longest interval spans
+        # exactly max_cells cells (floor alignment) and trips it
+        bucket_width = max(
+            float(med), 2.0 * float(longest) / max_cells_per_interval, 1e-9
+        )
     wdt = float(bucket_width)
 
     ivals = intervals.select(
@@ -309,7 +364,7 @@ def range_join(
         F.struct(*[F.col(c).alias(o) for c, o in names.items()]).alias("_rj_pay"),
     ).where(F.col("_rj_s") <= F.col("_rj_e"))
     span = (
-        F.floor(_to_double(F.col("_rj_e")) / wdt) - F.floor(_to_double(F.col("_rj_s")) / wdt)
+        F.floor(_to_double(F.col("_rj_e"), e_dt) / wdt) - F.floor(_to_double(F.col("_rj_s"), s_dt) / wdt)
     )
     ivals = ivals.withColumn("_rj_span", span)
     # loud guard instead of a silent 10^6-cell explode on one bad row
@@ -319,8 +374,8 @@ def range_join(
             F.when(
                 F.col("_rj_span") < F.lit(max_cells_per_interval),
                 F.sequence(
-                    F.floor(_to_double(F.col("_rj_s")) / wdt).cast("long"),
-                    F.floor(_to_double(F.col("_rj_e")) / wdt).cast("long"),
+                    F.floor(_to_double(F.col("_rj_s"), s_dt) / wdt).cast("long"),
+                    F.floor(_to_double(F.col("_rj_e"), e_dt) / wdt).cast("long"),
                 ),
             ).otherwise(
                 F.raise_error(
@@ -336,7 +391,7 @@ def range_join(
     ).drop("_rj_span")
 
     pts = points.withColumn(
-        "_rj_cell", F.floor(_to_double(F.col(on)) / wdt).cast("long")
+        "_rj_cell", F.floor(_to_double(F.col(on), on_dt) / wdt).cast("long")
     )
     matched = (
         pts.join(ivals, lb + ["_rj_cell"])

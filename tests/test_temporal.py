@@ -294,14 +294,18 @@ _right_rows = st.dictionaries(
     rrows=_right_rows,
     direction=st.sampled_from(["backward", "forward"]),
     tolerance=st.sampled_from([None, 2.0]),
+    bucketed=st.booleans(),
 )
-def test_asof_property_any_log_matches_duckdb(spark, lrows, rrows, direction, tolerance):
+def test_asof_property_any_log_matches_duckdb(
+    spark, lrows, rrows, direction, tolerance, bucketed
+):
     lrows = [(i, k, t) for i, (k, t) in enumerate(lrows)]
     rrows = [(k, t, v) for (k, t), v in sorted(rrows.items())]
     l = spark.createDataFrame(lrows, "id int, k string, t double")
     r = spark.createDataFrame(rrows, "k string, rt double, rv int")
     got = asof_join(l, r, on="t", by=["k"], right_on="rt",
-                    direction=direction, tolerance=tolerance)
+                    direction=direction, tolerance=tolerance,
+                    bucket_keyed=bucketed, num_range_buckets=4)
     con = duckdb.connect()
     con.register("l", pd.DataFrame(lrows, columns=["id", "k", "t"]))
     con.register("r", pd.DataFrame(rrows, columns=["k", "rt", "rv"]))
@@ -350,3 +354,106 @@ def test_range_join_property_any_log_matches_sql(spark, prows, irows, width, how
         cols,
     )
     assert _rows(got, cols) == want
+
+
+def test_range_join_auto_width_zero_median(spark):
+    # regression (hypothesis-found): with median interval length 0 the
+    # auto width fell back to longest/max_cells, making the longest
+    # interval span exactly max_cells cells and trip its own guard
+    p = spark.createDataFrame([(1, "a", 0.0)], "id int, k string, t double")
+    i = spark.createDataFrame(
+        [("a", 0.0, 0.0, "z"), ("a", 0.0, 1.0, "w")],
+        "k string, s double, e double, tag string",
+    )
+    got = range_join(p, i, on="t", start="s", end="e", by=["k"])
+    assert sorted(r["tag"] for r in got.collect()) == ["w", "z"]
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_bucket_keyed_hot_key_matches_plain_and_duckdb(spark, direction):
+    # Zipf-hot fixture: one key holds ~90% of both sides. bucket_keyed
+    # sub-partitions that key's window into quantile time-cells; output
+    # must equal the plain keyed path AND DuckDB exactly
+    lrows = [(i, "hot", float(i % 97) + 0.5) for i in range(270)] + [
+        (1000 + i, "cold", float(i * 3)) for i in range(30)
+    ]
+    rrows = [("hot", float(j * 2), j) for j in range(50)] + [
+        ("cold", float(j * 11), 100 + j) for j in range(5)
+    ]
+    l = spark.createDataFrame(lrows, "id int, k string, t double")
+    r = spark.createDataFrame(rrows, "k string, rt double, rv int")
+    cols = ["id", "k", "t", "rv"]
+    got = asof_join(l, r, on="t", by=["k"], right_on="rt", direction=direction,
+                    bucket_keyed=True, num_range_buckets=8)
+    plain = asof_join(l, r, on="t", by=["k"], right_on="rt", direction=direction)
+    assert _rows(got, cols) == _rows(plain, cols)
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(lrows, columns=["id", "k", "t"]))
+    con.register("r", pd.DataFrame(rrows, columns=["k", "rt", "rv"]))
+    op = ">=" if direction == "backward" else "<="
+    want = _duck_rows(
+        con,
+        f"SELECT l.id, l.k, l.t, r.rv FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t {op} r.rt",
+        cols,
+    )
+    assert _rows(got, cols) == want
+
+
+def test_asof_bucketed_plan_is_collect_free_and_bounded(spark):
+    # the bucketed path must not degenerate: no cartesian/nested-loop,
+    # and its only join is the spine-sized carry join
+    l = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id int, t double"
+    )
+    r = spark.createDataFrame(
+        [(float(j * 7), j) for j in range(20)], "rt double, rv int"
+    )
+    got = asof_join(l, r, on="t", right_on="rt", num_range_buckets=8)
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_timestamp_ntz_bucketed_and_tolerance(spark):
+    # regression: TIMESTAMP_NTZ (what parquet testdata reads as) has no
+    # direct double cast — the bucketed and tolerance paths must route
+    # through TIMESTAMP; a 90-minute tolerance keeps only event 1
+    l = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00"), (2, "2024-01-03 00:00:00")],
+        "id int, ts string",
+    ).select("id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    r = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 7)], "rt string, rv int"
+    ).select(F.col("rt").cast("timestamp_ntz").alias("rt"), "rv")
+    got = asof_join(l, r, on="ts", right_on="rt", num_range_buckets=4)
+    assert {x["id"]: x["rv"] for x in got.collect()} == {1: 7, 2: 7}
+    tol = asof_join(l, r, on="ts", right_on="rt", tolerance=5400.0,
+                    num_range_buckets=4)
+    assert {x["id"]: x["rv"] for x in tol.collect()} == {1: 7, 2: None}
+
+
+def test_asof_bucketed_parquet_sources_with_agg_right(spark, tmp_path):
+    # regression: parquet-backed inputs + an aggregated right side +
+    # the carry join used to die in Catalyst's
+    # UnionBase.rewriteConstraints (NoSuchElementException under
+    # PruneFilters) when the bucket column was a lambda HOF pushed
+    # into the union children; the lambda-free bucket expression and
+    # union-free carry lineage must keep this shape working
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(LEFT, "id int, k string, t double, v string").write.parquet(lp)
+    spark.createDataFrame(RIGHT, "k string, rt double, v int, w double").write.parquet(rp)
+    l = spark.read.parquet(lp)
+    r = (
+        spark.read.parquet(rp)
+        .groupBy("k", "rt")
+        .agg(F.max("v").alias("v"), F.max("w").alias("w"))
+    )
+    got = asof_join(l, r, on="t", by=["k"], right_on="rt",
+                    bucket_keyed=True, num_range_buckets=4)
+    want = _duck_rows(
+        _duck(),
+        """SELECT l.id, l.k, l.t, l.v, r.v AS v_right, r.w
+           FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t >= r.rt""",
+        COLS,
+    )
+    assert _rows(got, COLS) == want
