@@ -21,8 +21,8 @@
 - sampling: deterministic hash splits, context-window chunking (with
   a model-exact tokenizer hook) and greedy sample packing
 - temporal: as-of (point-in-time) joins via union + ordered window
-  fill and interval range joins via cell bucketing — the two join
-  families Catalyst would otherwise nested-loop
+  fill, plus point-in-interval and interval-overlap joins via cell
+  bucketing — the join families Catalyst would otherwise nested-loop
 - multimodal: binary-column plumbing with REAL pure-numpy codecs
   (PPM/PGM images, PCM-16 WAV; per-row decode_error isolation)
 """

@@ -14,6 +14,11 @@ directly, both central to CDC analytics over a versioned lake:
 - :func:`range_join` — points joined to the intervals containing them
   (``p BETWEEN start AND end``), e.g. events into campaign flights or
   messages into session windows.
+- :func:`interval_join` — interval×interval overlap pairs (touching
+  endpoints inclusive), e.g. concurrent sessions or overlapping
+  campaign flights; the same cell decomposition with a
+  meet-exactly-once rule (the cell of ``greatest(starts)``), so no
+  post-hoc distinct.
 
 Naive renderings are non-starters at scale: an as-of join written as a
 ``θ``-join + per-left-row max explodes candidate pairs, and Catalyst
@@ -295,6 +300,28 @@ def asof_join(
     return res.select(*out)
 
 
+def _cell_seq(s_d, e_d, wdt: float, max_cells: int, who: str):
+    """Array of the time-cell indices an interval [s, e] spans, with a
+    loud guard (instead of a silent 10^6-cell explode) on any single
+    interval spanning >= ``max_cells`` cells."""
+    span = F.floor(e_d / wdt) - F.floor(s_d / wdt)
+    return F.when(
+        span < F.lit(max_cells),
+        F.sequence(
+            F.floor(s_d / wdt).cast("long"), F.floor(e_d / wdt).cast("long")
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{who}: interval spans >= {max_cells} cells at "
+                    f"bucket_width={wdt!r}; widen bucket_width"
+                )
+            )
+        )
+    )
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -363,32 +390,19 @@ def range_join(
         F.col(end).alias("_rj_e"),
         F.struct(*[F.col(c).alias(o) for c, o in names.items()]).alias("_rj_pay"),
     ).where(F.col("_rj_s") <= F.col("_rj_e"))
-    span = (
-        F.floor(_to_double(F.col("_rj_e"), e_dt) / wdt) - F.floor(_to_double(F.col("_rj_s"), s_dt) / wdt)
-    )
-    ivals = ivals.withColumn("_rj_span", span)
     # loud guard instead of a silent 10^6-cell explode on one bad row
     ivals = ivals.withColumn(
         "_rj_cell",
         F.explode(
-            F.when(
-                F.col("_rj_span") < F.lit(max_cells_per_interval),
-                F.sequence(
-                    F.floor(_to_double(F.col("_rj_s"), s_dt) / wdt).cast("long"),
-                    F.floor(_to_double(F.col("_rj_e"), e_dt) / wdt).cast("long"),
-                ),
-            ).otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            f"range_join: interval spans >= {max_cells_per_interval} "
-                            f"cells at bucket_width={wdt!r}; widen bucket_width"
-                        )
-                    )
-                )
+            _cell_seq(
+                _to_double(F.col("_rj_s"), s_dt),
+                _to_double(F.col("_rj_e"), e_dt),
+                wdt,
+                max_cells_per_interval,
+                "range_join",
             )
         ),
-    ).drop("_rj_span")
+    )
 
     pts = points.withColumn(
         "_rj_cell", F.floor(_to_double(F.col(on), on_dt) / wdt).cast("long")
@@ -407,6 +421,137 @@ def range_join(
         matched.select(*point_keys).distinct(), point_keys, "left_anti"
     ).select(
         *points.columns,
+        *[
+            F.lit(None).cast(matched.schema[o].dataType).alias(o)
+            for o in names.values()
+        ],
+    )
+    return matched.unionByName(unmatched)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    by: list[str] | None = None,
+    right_by: list[str] | None = None,
+    how: str = "inner",
+    left_keys: list[str] | None = None,
+    bucket_width: float | None = None,
+    max_cells_per_interval: int = 4096,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) interval pair that
+    overlaps — ``left_start <= right_end AND right_start <= left_end``,
+    inclusive both ends (touching endpoints DO match) — plus exact
+    ``by``-key equality. Output = left columns + right payload
+    (collisions suffixed). The interval×interval completion of
+    :func:`range_join`'s point×interval: concurrent-session analysis,
+    overlapping campaign flights, conversation-window collisions.
+
+    Same cell decomposition (Catalyst would nested-loop the raw
+    overlap predicate): BOTH sides explode into the ``bucket_width``
+    time-cells they span (width defaults to the median interval length
+    over the two sides — one bounded ``approxQuantile`` job) and
+    equi-join on ``(by, cell)``. An overlapping pair shares every cell
+    of its overlap, so the exact predicate is paired with a
+    dedup-by-construction rule: the pair is emitted only in the cell
+    containing ``greatest(left_start, right_start)`` — the overlap's
+    first instant, which lies in both sides' cell ranges exactly once.
+    No post-hoc ``distinct`` over the (potentially wide) output.
+
+    Scale shape: output-bounded plus ~2 cells per interval of explode
+    at the default width; per-cell fan-in is data-bounded and
+    AQE-splittable; one pathological interval fails the
+    ``max_cells_per_interval`` guard loudly. ``how="left"`` keeps
+    overlap-less left intervals (NULL right columns) and needs
+    ``left_keys`` — a unique key of ``left``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner/left, got {how!r}")
+    if how == "left" and not left_keys:
+        raise ValueError("how='left' needs left_keys (a unique key of left)")
+    lb = list(by or [])
+    rb = list(right_by or lb)
+    if len(lb) != len(rb):
+        raise ValueError("by and right_by must have the same length")
+    names = _payload_names(right.columns, left.columns, set(rb), suffix)
+
+    ls_dt = left.schema[left_start].dataType
+    le_dt = left.schema[left_end].dataType
+    rs_dt = right.schema[right_start].dataType
+    re_dt = right.schema[right_end].dataType
+    ls_d = _to_double(F.col(left_start), ls_dt)
+    le_d = _to_double(F.col(left_end), le_dt)
+    if bucket_width is None:
+        # throwaway skinny union: lengths from both sides feed ONE
+        # bounded approxQuantile job, materialized immediately (never
+        # part of the join plan)
+        lens = left.select((le_d - ls_d).alias("_len")).unionByName(
+            right.select(
+                (
+                    _to_double(F.col(right_end), re_dt)
+                    - _to_double(F.col(right_start), rs_dt)
+                ).alias("_len")
+            )
+        )
+        med, longest = lens.na.drop().approxQuantile("_len", [0.5, 1.0], 0.01) or [
+            1.0,
+            1.0,
+        ]
+        bucket_width = max(
+            float(med), 2.0 * float(longest) / max_cells_per_interval, 1e-9
+        )
+    wdt = float(bucket_width)
+
+    l_exp = left.where(F.col(left_start) <= F.col(left_end)).withColumn(
+        "_ij_cell", F.explode(_cell_seq(ls_d, le_d, wdt, max_cells_per_interval, "interval_join"))
+    )
+    r_exp = (
+        right.select(
+            *[F.col(r).alias(l) for r, l in zip(rb, lb)],
+            F.col(right_start).alias("_ij_s"),
+            F.col(right_end).alias("_ij_e"),
+            F.struct(*[F.col(c).alias(o) for c, o in names.items()]).alias("_ij_pay"),
+        )
+        .where(F.col("_ij_s") <= F.col("_ij_e"))
+        .withColumn(
+            "_ij_cell",
+            F.explode(
+                _cell_seq(
+                    _to_double(F.col("_ij_s"), rs_dt),
+                    _to_double(F.col("_ij_e"), re_dt),
+                    wdt,
+                    max_cells_per_interval,
+                    "interval_join",
+                )
+            ),
+        )
+    )
+    overlap = (F.col(left_start) <= F.col("_ij_e")) & (F.col("_ij_s") <= F.col(left_end))
+    meet_once = (
+        F.floor(
+            F.greatest(ls_d, _to_double(F.col("_ij_s"), rs_dt)) / wdt
+        ).cast("long")
+        == F.col("_ij_cell")
+    )
+    matched = (
+        l_exp.join(r_exp, lb + ["_ij_cell"])
+        .where(overlap & meet_once)
+        .select(
+            *left.columns,
+            *[F.col(f"_ij_pay.{o}").alias(o) for o in names.values()],
+        )
+    )
+    if how == "inner":
+        return matched
+    unmatched = left.join(
+        matched.select(*left_keys).distinct(), left_keys, "left_anti"
+    ).select(
+        *left.columns,
         *[
             F.lit(None).cast(matched.schema[o].dataType).alias(o)
             for o in names.values()

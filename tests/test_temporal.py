@@ -457,3 +457,118 @@ def test_asof_bucketed_parquet_sources_with_agg_right(spark, tmp_path):
         COLS,
     )
     assert _rows(got, COLS) == want
+
+
+# -- interval overlap join ---------------------------------------------
+
+from spark_cdc.operators.temporal import interval_join
+
+L_IV = [
+    # (id, k, s, e)
+    (1, "a", 0.0, 10.0),
+    (2, "a", 10.0, 10.0),   # zero-length, touching i1's end
+    (3, "a", 50.0, 60.0),   # overlaps nothing
+    (4, "b", 5.0, 25.0),    # spans two right intervals
+    (5, "b", 30.0, 20.0),   # inverted: dropped (matches nothing)
+    (6, "c", 0.0, 99.0),    # key with no right intervals
+]
+R_IV = [
+    # (k, s2, e2, tag)
+    ("a", 8.0, 12.0, "r1"),    # overlaps 1 and 2
+    ("a", 10.0, 10.0, "r2"),   # zero-length at the touch point
+    ("b", 0.0, 6.0, "r3"),
+    ("b", 25.0, 40.0, "r4"),   # touches 4's end inclusively
+    ("b", 26.0, 24.0, "bad"),  # inverted: dropped
+]
+
+# validity (non-inverted) lives in the ON clause: inverted intervals
+# never match, yet inverted LEFT rows still surface under LEFT JOIN —
+# exactly the engine's contract
+IJ_SQL = """SELECT l.id, l.k, l.s, l.e, r.s2, r.e2, r.tag
+            FROM l {how} JOIN r ON l.k = r.k AND l.s <= r.e2 AND r.s2 <= l.e
+                               AND l.s <= l.e AND r.s2 <= r.e2"""
+IJ_COLS = ["id", "k", "s", "e", "s2", "e2", "tag"]
+
+
+def _ij_dfs(spark):
+    l = spark.createDataFrame(L_IV, "id int, k string, s double, e double")
+    r = spark.createDataFrame(R_IV, "k string, s2 double, e2 double, tag string")
+    return l, r
+
+
+def _ij_duck():
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(L_IV, columns=["id", "k", "s", "e"]))
+    con.register("r", pd.DataFrame(R_IV, columns=["k", "s2", "e2", "tag"]))
+    return con
+
+
+@pytest.mark.parametrize("width", [None, 2.0, 500.0])
+def test_interval_join_inner_matches_sql(spark, width):
+    l, r = _ij_dfs(spark)
+    got = interval_join(l, r, "s", "e", "s2", "e2", by=["k"], bucket_width=width)
+    want = _duck_rows(_ij_duck(), IJ_SQL.format(how=""), IJ_COLS)
+    assert _rows(got, IJ_COLS) == want
+
+
+def test_interval_join_left_keeps_unmatched_once(spark):
+    l, r = _ij_dfs(spark)
+    got = interval_join(
+        l, r, "s", "e", "s2", "e2", by=["k"], how="left", left_keys=["id"]
+    )
+    want = _duck_rows(_ij_duck(), IJ_SQL.format(how="LEFT"), IJ_COLS)
+    assert _rows(got, IJ_COLS) == want
+
+
+def test_interval_join_plan_has_no_nested_loop(spark):
+    l, r = _ij_dfs(spark)
+    got = interval_join(l, r, "s", "e", "s2", "e2", by=["k"])
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_interval_join_parquet_sources(spark, tmp_path):
+    # the cell join must survive parquet-backed lineage (the Catalyst
+    # constraint landmine asof hit) — exploded×exploded + agg right
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(L_IV, "id int, k string, s double, e double").write.parquet(lp)
+    spark.createDataFrame(R_IV, "k string, s2 double, e2 double, tag string").write.parquet(rp)
+    l = spark.read.parquet(lp)
+    r = spark.read.parquet(rp).groupBy("k", "s2", "e2").agg(F.max("tag").alias("tag"))
+    got = interval_join(l, r, "s", "e", "s2", "e2", by=["k"])
+    want = _duck_rows(_ij_duck(), IJ_SQL.format(how=""), IJ_COLS)
+    assert _rows(got, IJ_COLS) == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    lrows=st.dictionaries(
+        st.tuples(_keys, _times, _times), st.integers(0, 9), min_size=0, max_size=8
+    ),
+    rrows=st.dictionaries(
+        st.tuples(_keys, _times, _times), st.integers(0, 9), min_size=0, max_size=8
+    ),
+    width=st.sampled_from([None, 0.5, 3.0]),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_interval_join_property_any_log_matches_sql(spark, lrows, rrows, width, how):
+    lrows = [(i, k, s, e) for i, ((k, s, e), _) in enumerate(sorted(lrows.items()))]
+    rrows = [(k, s, e, v) for (k, s, e), v in sorted(rrows.items())]
+    l = spark.createDataFrame(lrows, "id int, k string, s double, e double")
+    r = spark.createDataFrame(rrows, "k string, s2 double, e2 double, tag int")
+    got = interval_join(l, r, "s", "e", "s2", "e2", by=["k"], how=how,
+                        left_keys=["id"] if how == "left" else None,
+                        bucket_width=width)
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(lrows, columns=["id", "k", "s", "e"]))
+    con.register("r", pd.DataFrame(rrows, columns=["k", "s2", "e2", "tag"]))
+    cols = ["id", "k", "s", "e", "s2", "e2", "tag"]
+    sql_how = "" if how == "inner" else "LEFT"
+    want = _duck_rows(con, IJ_SQL.format(how=sql_how).replace("l.id,", "l.id,"), cols)
+    assert _rows(got, cols) == want
