@@ -115,6 +115,33 @@ def main(argv: list[str] | None = None) -> int:
                        help="optionally print top-10 BM25 matches from the "
                        "maintained index after catch-up")
 
+    p_enr = sub.add_parser(
+        "enrich",
+        help="as-of enrich an event stream against a dimension-history "
+        "lake table (per micro-batch point-in-time join; the history is "
+        "re-read at every trigger so a concurrently CDC-maintained table "
+        "is joined at its freshest committed snapshot; exactly-once via "
+        "per-batch partition overwrite)",
+    )
+    p_enr.add_argument("--source", required=True,
+                       help="event parquet dir (streamed with availableNow)")
+    p_enr.add_argument("--history-table", required=True,
+                       help="SCD-2 history lake table root (key, valid-from "
+                       "time, payload; build one from a change feed with "
+                       "spark_cdc.streaming.enrich.dim_history)")
+    p_enr.add_argument("--checkpoint", required=True)
+    p_enr.add_argument("--out", required=True, help="enriched output dir")
+    p_enr.add_argument("--on", required=True, help="event-time column of the stream")
+    p_enr.add_argument("--by", default="", help="comma-separated join key columns")
+    p_enr.add_argument("--right-on", default=None,
+                       help="history valid-from column (default: same as --on)")
+    p_enr.add_argument("--right-by", default=None,
+                       help="history key columns when named differently")
+    p_enr.add_argument("--tolerance", type=float, default=None,
+                       help="max event-to-version time gap (seconds for "
+                       "timestamps); farther matches read NULL")
+    p_enr.add_argument("--max-files-per-trigger", type=int, default=None)
+
     p_comp = sub.add_parser("compact", help="compact + expire snapshots")
     p_comp.add_argument("--table", required=True)
     p_comp.add_argument("--keep-snapshots", type=int, default=3)
@@ -291,6 +318,35 @@ def main(argv: list[str] | None = None) -> int:
         return LakeTable.create(
             spark, args.table, PAYLOAD_SCHEMA, key_columns=KEY_COLUMNS, num_buckets=num_buckets
         )
+
+    if args.cmd == "enrich":
+        from spark_cdc.streaming.enrich import AsofEnrichRunner
+
+        hist = LakeTable.load(spark, args.history_table)
+        schema = spark.read.parquet(args.source).schema
+        runner = AsofEnrichRunner(
+            spark,
+            history=hist,
+            source_dir=args.source,
+            checkpoint_dir=args.checkpoint,
+            out_dir=args.out,
+            schema=schema,
+            on=args.on,
+            by=[c for c in args.by.split(",") if c],
+            right_on=args.right_on,
+            right_by=[c for c in args.right_by.split(",") if c] if args.right_by else None,
+            tolerance=args.tolerance,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        runner.run_available()
+        # batch count from the output layout, not a per-batch recount
+        out_raw = spark.read.parquet(args.out)
+        print(json.dumps({
+            "batches": int(out_raw.select("_batch").distinct().count()),
+            "rows": int(out_raw.count()),
+            "out": args.out,
+        }))
+        return 0
 
     if args.cmd == "replay":
         from spark_cdc.cdc.apply import apply_batch

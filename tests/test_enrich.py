@@ -103,3 +103,29 @@ def test_stream_enrich_redelivery_idempotent(spark, tmp_path):
     runner2 = _run_stream(spark, tmp_path, fresh_checkpoint=True)
     again = sorted(map(tuple, runner2.read_enriched().collect()))
     assert again == first
+
+
+def test_enrich_cli(spark, tmp_path):
+    # python -m spark_cdc enrich: stream → as-of join against a lake-
+    # resident history table → per-batch partitioned output
+    from spark_cdc.__main__ import main
+    from spark_cdc.lake.table import LakeTable
+
+    hist_df = dim_history(
+        spark.createDataFrame(DIM_LOG, DIM_SCHEMA), keys=["dim_id"], on="ts"
+    )
+    hpath = str(tmp_path / "hist")
+    t = LakeTable.create(
+        spark, hpath, hist_df.schema, key_columns=["dim_id", "ts"], num_buckets=4
+    )
+    t.append(hist_df)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(EVENTS, EV_SCHEMA).coalesce(1).write.parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rc = main([
+        "enrich", "--source", src, "--history-table", hpath,
+        "--checkpoint", ckpt, "--out", out, "--on", "ts", "--by", "dim_id",
+    ])
+    assert rc == 0
+    got = {r["event_id"]: r["val"] for r in spark.read.parquet(out).collect()}
+    assert got == EXPECTED
