@@ -572,3 +572,36 @@ def test_interval_join_property_any_log_matches_sql(spark, lrows, rrows, width, 
     sql_how = "" if how == "inner" else "LEFT"
     want = _duck_rows(con, IJ_SQL.format(how=sql_how).replace("l.id,", "l.id,"), cols)
     assert _rows(got, cols) == want
+
+
+def test_asof_multi_key_matches_duckdb(spark):
+    lrows = [(1, "a", 1, 5.0), (2, "a", 2, 5.0), (3, "b", 1, 9.0), (4, "a", 1, 0.5)]
+    rrows = [("a", 1, 1.0, 10), ("a", 2, 4.0, 20), ("b", 1, 2.0, 30), ("b", 2, 1.0, 40)]
+    l = spark.createDataFrame(lrows, "id int, k1 string, k2 int, t double")
+    r = spark.createDataFrame(rrows, "k1 string, k2 int, rt double, rv int")
+    got = asof_join(l, r, on="t", by=["k1", "k2"], right_on="rt")
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(lrows, columns=["id", "k1", "k2", "t"]))
+    con.register("r", pd.DataFrame(rrows, columns=["k1", "k2", "rt", "rv"]))
+    cols = ["id", "k1", "k2", "t", "rv"]
+    want = _duck_rows(
+        con,
+        "SELECT l.id, l.k1, l.k2, l.t, r.rv FROM l ASOF LEFT JOIN r"
+        " ON l.k1 = r.k1 AND l.k2 = r.k2 AND l.t >= r.rt",
+        cols,
+    )
+    assert _rows(got, cols) == want
+
+
+def test_asof_bucket_keyed_window_partitions_include_cell(spark):
+    # the point of bucket_keyed: the big window's partition spec must
+    # contain the time-cell column alongside the key, so no single key
+    # ever sorts as one partition
+    l, r = _dfs(spark)
+    got = asof_join(l, r, on="t", by=["k"], right_on="rt",
+                    bucket_keyed=True, num_range_buckets=4)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    big = [s for s in specs if "_asof_on" in s]
+    assert big and all("_asof_b" in s and "k#" in s for s in big), specs
