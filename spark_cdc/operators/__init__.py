@@ -6,6 +6,10 @@
   exactly-once apply/rebuild into a lake table)
 - ivm: exact incremental view maintenance under update/delete
   (signed retraction rows from the change feed's pre/post images)
+- distinct_ivm: the non-additive trio maintained the same way —
+  COUNT DISTINCT / MIN / MAX / exact per-group top-k values via a
+  two-level (group, value) → multiplicity support table
+  (AggregatingMergeTree analogue, but delete-correct)
 - dedup_ops: exact / MinHash-LSH / SimHash / n-gram-Jaccard /
   embedding-cosine near-duplicate detection, connected-components
   keep decision, corpus dedup, eval-set decontamination
@@ -20,6 +24,9 @@
   generic keyed projections (CDC-live indexes)
 - sampling: deterministic hash splits, context-window chunking (with
   a model-exact tokenizer hook) and greedy sample packing
+- examples: transcript → SFT example assembly (prompt/completion
+  pairs with whole-turn left-truncation to a token budget, one
+  window pass — no prefix self-join)
 - temporal: as-of (point-in-time) joins via union + ordered window
   fill, plus point-in-interval and interval-overlap joins via cell
   bucketing — the join families Catalyst would otherwise nested-loop

@@ -1,0 +1,258 @@
+"""Retractable COUNT DISTINCT / MIN / MAX maintenance (two-level IVM).
+
+:mod:`spark_cdc.operators.ivm` maintains *additive* aggregates
+(count/sum) under updates and deletes with plain signed sums. That
+algebra cannot express the non-additive trio every analytics schema
+eventually wants maintained:
+
+- ``COUNT(DISTINCT v)`` — a second insert of an existing value must
+  not increment, and a delete must only decrement when it removes the
+  value's LAST occurrence;
+- ``MIN(v)`` / ``MAX(v)`` — deleting the current extremum must expose
+  the next-best value, which the aggregate alone no longer knows.
+
+The reference keeps these in ClickHouse AggregatingMergeTree state
+columns (``uniqExactState`` et al., merged at read time) and, like its
+KPI views, only ever ingests append-only facts; under its CDC path
+deletes are dropped entirely (/root/reference/stream_etl/core/
+processor.py:214-217), so the problem never surfaces — the views just
+drift. Here it is solved with the standard two-level construction
+(DBToaster-style higher-order IVM):
+
+- **Support table** (level 1): ``group_cols + value_col → mult``,
+  where ``mult`` is the signed multiplicity of that exact value in the
+  group. Maintained by the existing add-merge
+  :class:`~spark_cdc.operators.rollup.IncrementalRollup` — a delete
+  decrements, and rows reaching ``mult == 0`` are dropped, so the
+  table is exactly the per-group multiset of live non-null values,
+  bounded by the number of DISTINCT (group, value) pairs, not rows.
+- **View table** (level 2): ``group_cols → (n_distinct, min_v,
+  max_v)`` recomputed *only for buckets touched by the batch* from the
+  support table — ``n_distinct`` is a plain row count there, and
+  min/max see every surviving value, so retracting the extremum is
+  just not seeing it anymore.
+
+Cost per maintenance step: O(change set) to merge level 1 (same
+touched-bucket CoW as every rollup) plus O(support volume of touched
+buckets) to refresh level 2 — the distinct values co-bucketed with the
+changed groups, never the full table. At 100 TB both levels shuffle on
+the same group-hash bucketing, so the level-2 refresh is a co-located
+scan with no cross-bucket exchange.
+
+SQL semantics: ``COUNT(DISTINCT v)``, ``MIN(v)``, ``MAX(v)`` all
+ignore NULLs, so null values never enter the support table, and a
+group whose live rows are all-null has no view row (the oracle form is
+``GROUP BY g HAVING COUNT(v) > 0``).
+
+Duck-typed to the :func:`~spark_cdc.operators.ivm.maintain_from_feed`
+contract (``apply_batch(signed_rows, batch_id)`` + ``rebuild(signed_
+source, batch_id)``), so feed draining, crash-safe cursors,
+``auto_rebuild`` expiry recovery, and stream attachment via
+:class:`~spark_cdc.operators.ivm.MaintainedView` all work unchanged.
+
+Exactly-once across the two commits: level 1 is guarded by the
+rollup's batch-id key, level 2 by its own ``distinct_view`` key. The
+orders matter — support first, view second — so a crash between them
+redelivers a batch whose support merge no-ops (guard) while the view
+refresh re-runs against the already-correct support rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_cdc.lake.table import BUCKET_COL, V_SEQ, V_TS, LakeTable, bucket_expr
+from spark_cdc.operators.ivm import SIGN_COL, signed_count
+from spark_cdc.operators.rollup import IncrementalRollup
+
+MULT_COL = "mult"
+
+
+class DistinctRollup:
+    """Maintains ``group_cols → (n_distinct, min_v, max_v)`` over
+    ``value_col`` from a retraction stream (signed rows).
+
+    ``support`` must be keyed ``group_cols + [value_col]`` and
+    ``view`` keyed ``group_cols``; both must bucket on
+    ``group_cols[0]`` with the same bucket count so a batch's touched
+    buckets align across the two levels (asserted). Use
+    :meth:`create` to get a correctly-shaped pair.
+    """
+
+    GUARD = "distinct_view"
+
+    def __init__(
+        self,
+        support: LakeTable,
+        view: LakeTable,
+        group_cols: list[str],
+        value_col: str,
+    ):
+        if value_col in group_cols:
+            raise ValueError("value_col must not be a group column")
+        if (
+            support.bucket_column != group_cols[0]
+            or view.bucket_column != group_cols[0]
+            or support.num_buckets != view.num_buckets
+        ):
+            raise ValueError(
+                "support and view must both bucket on group_cols[0] "
+                "with equal num_buckets (touched buckets must align)"
+            )
+        self.support = support
+        self.view = view
+        self.group_cols = group_cols
+        self.value_col = value_col
+        self._level1 = IncrementalRollup(
+            support,
+            group_cols + [value_col],
+            {MULT_COL: signed_count()},
+            count_col=MULT_COL,
+        )
+
+    # ------------------------------------------------------------- create
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        support_path: str,
+        view_path: str,
+        group_fields: list[T.StructField],
+        value_field: T.StructField,
+        num_buckets: int = 32,
+    ) -> "DistinctRollup":
+        """Create the support/view table pair with aligned bucketing."""
+        group_cols = [f.name for f in group_fields]
+        support = LakeTable.create(
+            spark,
+            support_path,
+            T.StructType(
+                list(group_fields)
+                + [value_field, T.StructField(MULT_COL, T.LongType(), True)]
+            ),
+            key_columns=group_cols + [value_field.name],
+            bucket_column=group_cols[0],
+            num_buckets=num_buckets,
+        )
+        view = LakeTable.create(
+            spark,
+            view_path,
+            T.StructType(
+                list(group_fields)
+                + [
+                    T.StructField("n_distinct", T.LongType(), True),
+                    T.StructField("min_v", value_field.dataType, True),
+                    T.StructField("max_v", value_field.dataType, True),
+                ]
+            ),
+            key_columns=group_cols,
+            bucket_column=group_cols[0],
+            num_buckets=num_buckets,
+        )
+        return DistinctRollup(support, view, group_cols, value_field.name)
+
+    # ------------------------------------------------------- maintenance
+    def _touched_buckets(self, signed: DataFrame) -> list[int]:
+        return sorted(
+            r[0]
+            for r in signed.where(F.col(self.value_col).isNotNull())
+            .select(
+                bucket_expr(self.group_cols[0], self.view.num_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+
+    def _refresh_view(self, touched: list[int], batch_id: int | None) -> int:
+        """Recompute level 2 for ``touched`` buckets from the support
+        table (its own batch-id guard; see module docstring)."""
+        last = self.view.properties.get("last_batch_id", {}).get(self.GUARD)
+        if batch_id is not None and last is not None and batch_id <= last:
+            return self.view.snapshot_id
+        fresh = (
+            self.support.read(buckets=touched)
+            .groupBy(*self.group_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.min(self.value_col).alias("min_v"),
+                F.max(self.value_col).alias("max_v"),
+            )
+            .withColumn(
+                BUCKET_COL, bucket_expr(self.group_cols[0], self.view.num_buckets)
+            )
+            .repartition(max(len(touched) // 4, 1), F.col(BUCKET_COL))
+        )
+        for hidden in (V_TS, V_SEQ):
+            if hidden in {f.name for f in self.view.schema.fields}:
+                fresh = fresh.withColumn(
+                    hidden,
+                    F.lit(None).cast("timestamp" if hidden == V_TS else "long"),
+                )
+        props = dict(self.view.properties)
+        if batch_id is not None:
+            lb = dict(props.get("last_batch_id", {}))
+            lb[self.GUARD] = batch_id
+            props["last_batch_id"] = lb
+        return self.view.overwrite_buckets(
+            fresh,
+            touched,
+            properties=props,
+            summary={"operation": "distinct_view_refresh", "batch_id": batch_id},
+        )
+
+    def apply_batch(self, signed: DataFrame, batch_id: int | None = None) -> int:
+        """Fold one signed-rows batch (see
+        :func:`~spark_cdc.operators.ivm.signed_rows`) through both
+        levels. Returns the view table's snapshot id."""
+        signed = signed.where(F.col(self.value_col).isNotNull()).select(
+            *self.group_cols, self.value_col, SIGN_COL
+        )
+        touched = self._touched_buckets(signed)
+        if not touched:
+            return self.view.snapshot_id
+        self._level1.apply_batch(signed, batch_id=batch_id)
+        return self._refresh_view(touched, batch_id)
+
+    def rebuild(self, source: DataFrame, batch_id: int | None = None) -> int:
+        """From-scratch recompute (feed-expiry recovery); ``source``
+        carries ``_sign`` like the incremental path (all +1 when called
+        from :func:`~spark_cdc.operators.ivm.rebuild_view`)."""
+        source = source.where(F.col(self.value_col).isNotNull()).select(
+            *self.group_cols, self.value_col, SIGN_COL
+        )
+        self._level1.rebuild(source, batch_id=batch_id)
+        touched = sorted(
+            {int(b) for b in self.support.manifest["files"]}
+            | {int(b) for b in self.view.manifest["files"]}
+        )
+        if not touched:
+            return self.view.snapshot_id
+        return self._refresh_view(touched, batch_id)
+
+    # -------------------------------------------------------------- read
+    def read(self) -> DataFrame:
+        return self.view.read()
+
+    def topk_values(self, k: int) -> DataFrame:
+        """Exact top-``k`` most frequent live values per group —
+        ``(group_cols..., value_col, mult, rank)``.
+
+        The reference exposes this as ClickHouse's approximate
+        ``topK()`` combinator; here the level-1 support table already
+        IS the per-group multiset of live values with multiplicities
+        (delete-correct, unlike a frozen sketch), so serving exact
+        heavy hitters is one partitioned window over it — grouped by
+        the group key, never a global sort. Ties break on value order
+        for determinism."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*self.group_cols).orderBy(
+            F.desc(MULT_COL), F.asc(self.value_col)
+        )
+        return (
+            self.support.read()
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(*self.group_cols, self.value_col, MULT_COL, "rank")
+        )
