@@ -653,6 +653,99 @@ def run_bm25_maint(spark) -> tuple[dict, list]:
     return serve, maint_ms
 
 
+def run_distinct_maint(spark) -> list:
+    """Per-poll cost of the two-level COUNT DISTINCT / MIN / MAX view
+    (operators/distinct_ivm.py) across 8 equal change batches while
+    the source grows 8× — the ivm_ms twin for the non-additive trio.
+    Must stay flat: each poll merges O(change set) multiplicities and
+    refreshes only touched buckets. Ends with a correctness gate
+    (maintained view == from-scratch aggregate over final state)."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.lake.feed import ChangeFeedConsumer
+    from spark_cdc.lake.table import LakeTable
+    from spark_cdc.operators.distinct_ivm import DistinctRollup
+    from spark_cdc.operators.ivm import maintain_from_feed
+
+    base_dir = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    base = os.path.join(base_dir, "spark_cdc_bench_distinct")
+    _sh.rmtree(base, ignore_errors=True)
+    src_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("fp", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    src = LakeTable.create(
+        spark, base + "/src", src_schema, key_columns=["doc_id"], num_buckets=16
+    )
+    dr = DistinctRollup.create(
+        spark, base + "/support", base + "/view",
+        [T.StructField("lang", T.StringType(), True)],
+        T.StructField("fp", T.StringType(), True), num_buckets=16,
+    )
+    consumer = ChangeFeedConsumer(src, base + "/cursor")
+
+    def payload(ids, salt):
+        # 20 langs; fingerprints hash-derived with ~25% cross-doc
+        # duplication so multiplicities >1 actually occur
+        return ids.select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("lang"), F.pmod(F.col("id"), F.lit(20)).cast("string")).alias("lang"),
+            F.concat(
+                F.lit("fp"),
+                F.pmod(F.xxhash64(F.col("id") * F.lit(13) + F.lit(salt)), F.lit(75_000)).cast("string"),
+            ).alias("fp"),
+        )
+
+    def env(df, i, op):
+        return df.select(
+            F.col("doc_id").alias("lsn"),
+            F.lit(i).cast("long").alias("op_seq"),
+            F.lit(op).alias("op"),
+            "doc_id", "lang", "fp",
+            F.timestamp_seconds(F.lit(i)).alias("ts"),
+        )
+
+    per, n_batches = 12_500, 8
+    maint_ms = []
+    for i in range(n_batches):
+        ins = env(payload(spark.range(i * per, (i + 1) * per), 0), i, "c")
+        batch = ins
+        if i > 0:
+            upd = env(payload(spark.range((i - 1) * per, (i - 1) * per + 1000), i), i, "c")
+            dels = env(
+                payload(spark.range((i - 1) * per + 6000, (i - 1) * per + 6200), 0),
+                i, "d",
+            ).withColumn("lang", F.lit(None).cast("string")) \
+             .withColumn("fp", F.lit(None).cast("string"))
+            batch = ins.unionByName(upd).unionByName(dels)
+        apply_batch(src, batch, batch_id=i, mode="mor",
+                    collect_lineage=False, collect_stats=False)
+        t0 = time.monotonic()
+        maint_from = maintain_from_feed(dr, consumer)
+        maint_ms.append(round((time.monotonic() - t0) * 1000, 1))
+        assert maint_from == 1
+    # correctness gate: the series above is only evidence if the view
+    # it maintained is right
+    scratch = (
+        src.read().where(F.col("fp").isNotNull()).groupBy("lang")
+        .agg(F.countDistinct("fp").alias("n_distinct"),
+             F.min("fp").alias("min_v"), F.max("fp").alias("max_v"))
+    )
+    diff = dr.read().select("lang", "n_distinct", "min_v", "max_v") \
+        .exceptAll(scratch).count()
+    assert diff == 0, f"maintained distinct view diverged ({diff} rows)"
+    _sh.rmtree(base, ignore_errors=True)
+    return maint_ms
+
+
 def _stolen_retry(fn, threshold: float = 0.05):
     """Run ``fn`` inside a StealWindow; if the hypervisor stole more
     than ``threshold`` of the window, run it ONCE more and keep the
@@ -826,6 +919,9 @@ def main() -> None:
         bm25_serve, bm25_maint_ms = run_bm25_maint(spark)
     q_steals["bm25_maint_window"] = sw_bm.steal_ratio
     queries.update(bm25_serve)
+    with StealWindow() as sw_dv:
+        distinct_ivm_ms = run_distinct_maint(spark)
+    q_steals["distinct_maint_window"] = sw_dv.steal_ratio
     total = round(
         cdc["elapsed_sec"] + cdc["compact_sec"] + cdc_cow["elapsed_sec"]
         + cdc_skew["elapsed_sec"] + cdc_routed["elapsed_sec"]
@@ -883,6 +979,8 @@ def main() -> None:
         # O(change set) index maintenance: per-poll ms over 8 equal
         # change batches while the indexed corpus grows 8x
         "bm25_maint_ms": bm25_maint_ms,
+        # same discipline for the two-level COUNT DISTINCT/MIN/MAX view
+        "distinct_ivm_ms": distinct_ivm_ms,
         # N→4N fleet efficiency from the latest bench_scaling.py run
         # (full report: BENCH/scaling_latest.json + BENCH/BASELINE.md)
         "scaling": _scaling_summary(detail_dir),

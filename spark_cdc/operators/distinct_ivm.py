@@ -256,3 +256,49 @@ class DistinctRollup:
             .where(F.col("rank") <= k)
             .select(*self.group_cols, self.value_col, MULT_COL, "rank")
         )
+
+    def quantile_values(self, probs: list[float]) -> DataFrame:
+        """Exact per-group discrete quantiles of the live value
+        multiset — ``(group_cols..., q<prob> ...)``, one column per
+        requested probability.
+
+        The reference serves these as ClickHouse ``quantileExact``
+        (which buffers every value per group and cannot retract); here
+        the support table already holds the sorted-value multiset as
+        (value, multiplicity) rows, so quantile q is the smallest
+        value whose cumulative multiplicity reaches ``ceil(q·n)`` —
+        one grouped cumulative window (never a global sort, state
+        bounded by distinct values, correct under deletes). q=0 is the
+        minimum, q=1 the maximum; groups are the same ≥1-non-null-
+        value set as :meth:`read`.
+        """
+        if not probs or any(not 0.0 <= p <= 1.0 for p in probs):
+            raise ValueError("probs must be non-empty, each in [0, 1]")
+        from pyspark.sql.window import Window
+
+        per_group = Window.partitionBy(*self.group_cols)
+        cum_w = per_group.orderBy(self.value_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        sup = (
+            self.support.read()
+            .withColumn("_cum", F.sum(MULT_COL).over(cum_w))
+            .withColumn("_total", F.sum(MULT_COL).over(per_group))
+        )
+
+        def col_name(p: float) -> str:
+            return "q" + f"{p:g}".replace(".", "_")
+
+        aggs = [
+            F.min(
+                F.when(
+                    F.col("_cum")
+                    >= F.greatest(
+                        F.ceil(F.lit(float(p)) * F.col("_total")), F.lit(1)
+                    ),
+                    F.col(self.value_col),
+                )
+            ).alias(col_name(p))
+            for p in probs
+        ]
+        return sup.groupBy(*self.group_cols).agg(*aggs)

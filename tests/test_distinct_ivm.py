@@ -217,3 +217,67 @@ def test_topk_values_exact_and_delete_correct(spark, tmp_path):
     got = sorted(tuple(r) for r in dr.topk_values(2).collect())
     assert got == [("assistant", "zz", 1, 1),
                    ("user", "alpha", 1, 2), ("user", "yo", 2, 1)]
+
+
+def test_distinct_view_on_stream(spark, tmp_path):
+    """DistinctRollup plugged into the streaming runner's on_batch hook
+    (via the same MaintainedView adapter as additive rollups) keeps
+    COUNT DISTINCT / MIN / MAX in lockstep with the streamed table."""
+    from spark_cdc.operators.ivm import MaintainedView
+    from spark_cdc.sources.changelog import generate_change_log
+    from spark_cdc.streaming import StreamRunner
+
+    log = generate_change_log(spark, n_events=3000, n_convs=50, seed=33)
+    src_dir = str(tmp_path / "changelog")
+    log.coalesce(4).write.parquet(src_dir)
+    table = LakeTable.create(
+        spark, str(tmp_path / "table"), PAYLOAD_SCHEMA,
+        key_columns=["conv_id", "turn_idx"], num_buckets=4,
+    )
+    dr = DistinctRollup.create(
+        spark, str(tmp_path / "support"), str(tmp_path / "view"),
+        GROUP_FIELDS, VALUE_FIELD, num_buckets=4,
+    )
+    view = MaintainedView(dr, ChangeFeedConsumer(table, str(tmp_path / "cursor")))
+    runner = StreamRunner(
+        spark, table, src_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, on_batch=view.on_batch,
+    )
+    runner.run_available()
+    assert len(runner.results) >= 2
+    assert _maintained(dr) == _scratch(table)
+
+
+def test_quantile_values_exact_weighted(spark, tmp_path):
+    """Exact discrete quantiles off the support table equal a
+    reference weighted-multiset computation, including under deletes
+    that shift the median."""
+    src, dr, consumer = _mk(spark, tmp_path)
+    # user multiset: a×1, b×3, c×1, d×2  (n=7)
+    vals = ["a", "b", "b", "b", "c", "d", "d"]
+    rows = [_ev(i + 1, "c", f"c{i + 1}", 0, "user", v, 1)
+            for i, v in enumerate(vals)]
+    apply_batch(src, spark.createDataFrame(rows, CHANGE_SCHEMA),
+                batch_id=0, collect_lineage=False)
+    maintain_from_feed(dr, consumer)
+
+    def ref_q(multiset, p):
+        import math
+        flat = sorted(multiset)
+        k = max(math.ceil(p * len(flat)), 1)
+        return flat[k - 1]
+
+    got = {r["role"]: r for r in dr.quantile_values([0.0, 0.5, 0.9, 1.0]).collect()}
+    u = got["user"]
+    assert (u["q0"], u["q0_5"], u["q0_9"], u["q1"]) == (
+        ref_q(vals, 0.0), ref_q(vals, 0.5), ref_q(vals, 0.9), ref_q(vals, 1.0))
+    assert (u["q0"], u["q0_5"], u["q1"]) == ("a", "b", "d")
+    # delete two of the three b's (conv c2, c3) → median shifts to c
+    apply_batch(src, spark.createDataFrame(
+        [_ev(8, "d", "c2", 0, None, None, 2),
+         _ev(9, "d", "c3", 0, None, None, 2)], CHANGE_SCHEMA),
+        batch_id=1, collect_lineage=False)
+    maintain_from_feed(dr, consumer)
+    vals2 = ["a", "b", "c", "d", "d"]
+    u = {r["role"]: r for r in dr.quantile_values([0.5]).collect()}["user"]
+    assert u["q0_5"] == ref_q(vals2, 0.5) == "c"
