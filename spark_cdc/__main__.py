@@ -145,6 +145,14 @@ def main(argv: list[str] | None = None) -> int:
     p_comp = sub.add_parser("compact", help="compact + expire snapshots")
     p_comp.add_argument("--table", required=True)
     p_comp.add_argument("--keep-snapshots", type=int, default=3)
+    p_comp.add_argument(
+        "--zorder",
+        default=None,
+        help="comma-separated numeric/date/timestamp columns: rewrite "
+        "Z-order-clustered with per-file zone maps instead of binpack "
+        "(OPTIMIZE ... ZORDER BY)",
+    )
+    p_comp.add_argument("--zorder-files-per-bucket", type=int, default=4)
 
     p_check = sub.add_parser(
         "check", help="table integrity check (lake fsck); exit 1 on damage"
@@ -194,12 +202,19 @@ def main(argv: list[str] | None = None) -> int:
         return 0 if report["ok"] else 1
 
     if args.cmd == "compact":
-        from spark_cdc.lake.maintenance import compact, expire_snapshots
+        from spark_cdc.lake.maintenance import compact, expire_snapshots, zorder_compact
 
         table = LakeTable.load(spark, args.table)
-        buckets = compact(table)
+        out = {}
+        if args.zorder:
+            cols = [c.strip() for c in args.zorder.split(",") if c.strip()]
+            out["zorder_stats_columns"] = zorder_compact(
+                table, cols, files_per_bucket=args.zorder_files_per_bucket
+            )
+        else:
+            out["compacted_buckets"] = compact(table)
         stats = expire_snapshots(table, keep_last=args.keep_snapshots)
-        print(json.dumps({"compacted_buckets": buckets, **stats}))
+        print(json.dumps({**out, **stats}))
         return 0
 
     if args.cmd == "feed-mirror":

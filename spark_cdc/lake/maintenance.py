@@ -80,6 +80,111 @@ def compact(
     return fragmented
 
 
+def zorder_compact(
+    table: LakeTable,
+    cols: list[str],
+    bits: int = 12,
+    files_per_bucket: int = 4,
+) -> list[str]:
+    """Rewrite the whole table clustered by the Z-order (Morton)
+    interleave of ``cols``, and record per-file [min, max] zone maps
+    for them — Delta's ``OPTIMIZE ... ZORDER BY`` / Iceberg's
+    sort-order rewrite, and the explicit Spark rendering of the
+    reference's multi-column primary index ``ORDER BY (campaign_id,
+    event_date)`` (/root/reference/etl/clickhouse_schema/init.sql:41):
+    ClickHouse gets 2-D locality from its sorted parts + sparse index;
+    a hash-bucketed lake table gets it from this rewrite + manifest
+    zone maps consumed by ``read(zone_between={col: (lo, hi)})``.
+
+    Why not just sort by (c1, c2)? Lexicographic order gives tight
+    file ranges on c1 only — a predicate on c2 alone scans every file.
+    Bit-interleaving gives every listed column ~|file|^(1/k)-tight
+    ranges, so single- and multi-column range probes all skip files.
+
+    Scale shape: one bounded min/max aggregate for normalization, one
+    range-repartition by (bucket, z) — Spark's sampled range
+    partitioner, no global sort — with ``files_per_bucket`` output
+    files per bucket so zone maps have sub-bucket granularity, and a
+    presorted bucket-dir write. Cost is one full rewrite, the same as
+    any OPTIMIZE; run it at the cadence ClickHouse runs part merges.
+
+    ``cols`` must be numeric, date or timestamp columns. Returns the
+    written column list (== stats_columns afterwards). Hash bucketing
+    by the merge key is preserved — point lookups and MERGE routing
+    are untouched; this only reorders rows WITHIN buckets across
+    files."""
+    from pyspark.sql import Window
+
+    schema = {f.name: f.dataType.simpleString() for f in table.schema.fields}
+    for c in cols:
+        t = schema.get(c)
+        if t is None:
+            raise ValueError(f"unknown column {c!r}")
+        ok = t.startswith(("int", "bigint", "smallint", "tinyint",
+                           "float", "double", "decimal", "date", "timestamp"))
+        if not ok:
+            raise ValueError(f"zorder column {c!r} has unorderable-for-zone type {t}")
+
+    def as_num(c):
+        t = schema[c]
+        col = F.col(c)
+        if t.startswith("timestamp"):
+            # TIMESTAMP_NTZ refuses a direct double cast
+            return col.cast("timestamp").cast("double")
+        if t == "date":
+            return col.cast("timestamp").cast("double")
+        return col.cast("double")
+
+    # persist stats_columns FIRST (its own snapshot, like ALTER TABLE
+    # SET ...), so the rewrite's _write_data — and every future write —
+    # records zone maps for these columns
+    prior = set(table.properties.get("stats_columns", []))
+    table.set_properties({"stats_columns": sorted(prior | set(cols))})
+
+    df = table.read(include_hidden=True, resolve=True)
+    bounds = df.agg(
+        *[F.min(as_num(c)).alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(as_num(c)).alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).first()
+    n, scale = len(cols), (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo = float(bounds[f"lo_{i}"] or 0.0)
+        hi = float(bounds[f"hi_{i}"] or 0.0)
+        width = (hi - lo) or 1.0
+        rank = F.least(
+            F.lit(scale),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.coalesce(as_num(c), F.lit(lo)) - F.lit(lo))
+                        / F.lit(width) * F.lit(scale)).cast("long"),
+            ),
+        )
+        for b in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(rank, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+    if table.bucket_column:
+        df = df.withColumn(BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets))
+    else:
+        df = df.withColumn(BUCKET_COL, F.lit(0))
+    all_buckets = sorted({int(b) for b in table.manifest["files"]})
+    n_parts = max(len(all_buckets), 1) * max(files_per_bucket, 1)
+    out = (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_parts, F.col(BUCKET_COL), F.col("_z"))
+        .sortWithinPartitions(BUCKET_COL, "_z")
+        .drop("_z")
+    )
+    table.overwrite_buckets(
+        out,
+        all_buckets,
+        summary={"operation": "zorder_compact", "cols": cols, "bits": bits},
+        presorted=True,
+    )
+    return sorted(prior | set(cols))
+
+
 def expire_snapshots(table: LakeTable, keep_last: int = 3) -> dict:
     """Delete manifests older than the last ``keep_last`` snapshots and
     any data directory no retained snapshot references."""

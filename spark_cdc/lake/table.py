@@ -80,6 +80,37 @@ def bucket_expr(bucket_column: str, num_buckets: int):
     return F.pmod(F.xxhash64(F.col(bucket_column)), F.lit(num_buckets)).cast("int")
 
 
+def _zone_value(v):
+    """Normalize a parquet-footer statistic or probe bound for zone-map
+    comparison: ints/floats as-is, ASCII strings as-is, datetimes and
+    dates as ISO-8601 strings (lexicographic order == chronological —
+    mixed-precision safe: a shorter stamp is a prefix of, and sorts
+    before, its sub-second extension). Anything else → None (never
+    prune on it)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            # footers for TIMESTAMP (adjusted-to-UTC) may surface
+            # tz-aware values; normalize to naive UTC so probe and
+            # stat render identically (a stray "+00:00" suffix would
+            # mis-order exact-boundary comparisons)
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            v = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return v if v.isascii() else None
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return v
+    return None
+
+
 def _resolve_latest(df: DataFrame, keys: list[str]) -> DataFrame:
     """Latest-version-per-key over possibly-multi-generation rows:
     max_by(payload, (v_ts, v_seq, gen)) — the MoR read-path resolution.
@@ -112,6 +143,9 @@ class LakeTable:
         # per-file [min,max] key stats from the most recent _write_data,
         # folded into the manifest by _commit_next
         self._last_write_stats: dict[str, list] = {}
+        # per-file per-column zone maps for properties["stats_columns"]
+        # (multi-column file skipping beyond the bucket key)
+        self._last_write_col_stats: dict[str, dict[str, list]] = {}
 
     # ------------------------------------------------------------- create/load
     @staticmethod
@@ -224,6 +258,7 @@ class LakeTable:
         resolve: bool | None = None,
         key_between: tuple | None = None,
         key_in: list | None = None,
+        zone_between: dict | None = None,
     ) -> DataFrame:
         """Snapshot read; optionally restricted to a bucket subset.
 
@@ -274,7 +309,9 @@ class LakeTable:
         key_in_sorted = sorted(set(key_in)) if key_in is not None else None
         files = [
             os.path.join(self.path, f)
-            for f in self.selected_files(manifest, buckets, key_between, key_in_sorted)
+            for f in self.selected_files(
+                manifest, buckets, key_between, key_in_sorted, zone_between
+            )
         ]
         if not files:
             df = self.spark.createDataFrame([], schema)
@@ -294,6 +331,19 @@ class LakeTable:
         need_resolve = bool(delta_buckets) if resolve is None else resolve
         if need_resolve and self.key_columns and files:
             df = _resolve_latest(df, list(manifest["key_columns"]))
+        if zone_between:
+            # row-level twin of the zone-map file pruning — applied
+            # AFTER MoR resolution, because a zone column is not the
+            # merge key: filtering versions of a key by a mutable
+            # column before resolution could drop the newest version
+            # and resurrect a stale in-range one. File pruning is
+            # restricted to single-version (non-delta) buckets for the
+            # same reason (see selected_files), where one row per key
+            # makes skipping out-of-range files trivially safe. In the
+            # no-resolve case Catalyst pushes this straight to the
+            # scan.
+            for zc, (zlo, zhi) in zone_between.items():
+                df = df.where(F.col(zc).between(F.lit(zlo), F.lit(zhi)))
         if not include_hidden:
             if V_DEL in df.columns:
                 df = df.filter(~F.coalesce(F.col(V_DEL), F.lit(False)))
@@ -306,44 +356,77 @@ class LakeTable:
         buckets: list[int] | None = None,
         key_between: tuple | None = None,
         key_in: list | None = None,
+        zone_between: dict | None = None,
     ) -> list[str]:
         """Relative data-file list a read with these predicates touches
         — bucket subset first, then per-file [min, max] stats on the
         bucket column (``key_between`` range / ``key_in`` membership
-        via bisect over the sorted probe list). Exposed so pruning is
-        testable and observable (the Iceberg ``planFiles`` analogue);
+        via bisect over the sorted probe list), then multi-column zone
+        maps (``zone_between = {col: (lo, hi)}`` against
+        ``col_stats``, recorded for the table's ``stats_columns``
+        property — see :func:`spark_cdc.lake.maintenance.
+        zorder_compact`). Zone pruning applies only to files in
+        single-version (non-delta) buckets: a zone column is not the
+        merge key, so in a multi-version bucket the newest version of
+        a key could live in a pruned file while a stale in-range
+        version survives — delta buckets are read in full and filtered
+        after MoR resolution instead. Exposed so pruning is testable
+        and observable (the Iceberg ``planFiles`` analogue);
         :meth:`read` consumes exactly this list."""
         manifest = self.manifest if manifest is None else manifest
         stats = manifest.get("file_stats", {})
+        col_stats = manifest.get("col_stats", {})
+        delta_set = {int(b) for b in manifest.get("delta_buckets", [])}
         key_in_sorted = sorted(set(key_in)) if key_in is not None else None
+        zone_norm = (
+            {
+                zc: (_zone_value(zlo), _zone_value(zhi))
+                for zc, (zlo, zhi) in zone_between.items()
+            }
+            if zone_between
+            else None
+        )
 
-        def overlaps(rel: str) -> bool:
-            if key_between is None and key_in_sorted is None:
-                return True
+        def overlaps(rel: str, in_delta_bucket: bool) -> bool:
             rng = stats.get(rel)
-            if not rng:
-                return True
-            if key_between is not None:
-                lo, hi = key_between
-                if rng[1] < lo or rng[0] > hi:
-                    return False
-            if key_in_sorted is not None:
-                # sorted probe list: bisect to the first value ≥ min
-                # and check it is ≤ max — O(log n) per file
-                import bisect
-
-                try:
-                    i = bisect.bisect_left(key_in_sorted, rng[0])
-                    if i >= len(key_in_sorted) or key_in_sorted[i] > rng[1]:
+            if rng:
+                if key_between is not None:
+                    lo, hi = key_between
+                    if rng[1] < lo or rng[0] > hi:
                         return False
-                except TypeError:
-                    return True  # probe/stat type mismatch: never prune
+                if key_in_sorted is not None:
+                    # sorted probe list: bisect to the first value ≥ min
+                    # and check it is ≤ max — O(log n) per file
+                    import bisect
+
+                    try:
+                        i = bisect.bisect_left(key_in_sorted, rng[0])
+                        if i >= len(key_in_sorted) or key_in_sorted[i] > rng[1]:
+                            return False
+                    except TypeError:
+                        pass  # probe/stat type mismatch: never prune
+            if zone_norm and not in_delta_bucket:
+                per_col = col_stats.get(rel, {})
+                for zc, (zlo, zhi) in zone_norm.items():
+                    crng = (
+                        per_col.get(zc)
+                        if zc != self.bucket_column
+                        else stats.get(rel)
+                    )
+                    if not crng or zlo is None or zhi is None:
+                        continue
+                    try:
+                        if crng[1] < zlo or crng[0] > zhi:
+                            return False
+                    except TypeError:
+                        continue  # mismatched probe type: never prune
             return True
 
         files: list[str] = []
         for b, flist in manifest["files"].items():
             if buckets is None or int(b) in buckets:
-                files.extend(f for f in flist if overlaps(f))
+                in_delta = int(b) in delta_set
+                files.extend(f for f in flist if overlaps(f, in_delta))
         return files
 
     def lookup(self, key_value, snapshot_id: int | None = None) -> DataFrame:
@@ -546,15 +629,18 @@ class LakeTable:
         touched_buckets: list[int],
         properties: dict[str, Any] | None = None,
         summary: dict[str, Any] | None = None,
+        presorted: bool = False,
     ) -> int:
         """Copy-on-write replacement of a bucket subset: ``df`` (already
         carrying ``_bucket``) becomes the new content of
         ``touched_buckets``; every other bucket carries over by
         reference. This is the commit primitive under MERGE (CoW mode)
         and compaction; replaced buckets are single-version again, so
-        their delta flag clears."""
+        their delta flag clears. ``presorted`` skips the key-order
+        sortWithinPartitions for callers that already arranged rows
+        (z-order rewrite)."""
         new_id = self.snapshot_id + 1
-        new_files = self._write_data(df, new_id)
+        new_files = self._write_data(df, new_id, presorted=presorted)
         files = {
             b: list(fl)
             for b, fl in self.manifest["files"].items()
@@ -670,7 +756,9 @@ class LakeTable:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
 
-    def _write_data(self, df: DataFrame, snapshot_id: int) -> dict[str, list[str]]:
+    def _write_data(
+        self, df: DataFrame, snapshot_id: int, presorted: bool = False
+    ) -> dict[str, list[str]]:
         """Write df (with ``_bucket``) partitioned by bucket; return
         relative file paths per bucket. Wall time of the write job (the
         Spark action that executes the whole merge plan) is recorded in
@@ -679,9 +767,12 @@ class LakeTable:
 
         t0 = _time.monotonic()
         self._last_write_stats = {}
+        self._last_write_col_stats = {}
         rel_dir = os.path.join(DATA_DIR, f"snap{snapshot_id}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
-        if self.key_columns:
+        if presorted:
+            pass  # caller already ordered the partitions (e.g. z-order)
+        elif self.key_columns:
             # clustered storage order within each file (the analogue of
             # the reference's ORDER BY (campaign_id, event_date) primary
             # key, init.sql:41,52; Iceberg WRITE ORDERED BY): better
@@ -709,6 +800,12 @@ class LakeTable:
                 if f.endswith(".parquet")
             ]
         self._last_write_stats = self._collect_file_stats(files)
+        extra = [
+            c for c in self.properties.get("stats_columns", [])
+            if c != self.bucket_column and c in {f.name for f in self.schema.fields}
+        ]
+        if extra:
+            self._last_write_col_stats = self._collect_col_stats(files, extra)
         self.last_write_ms = (_time.monotonic() - t0) * 1000
         return files
 
@@ -780,6 +877,61 @@ class LakeTable:
                     out[rel] = [min(mins), max(maxs)]
         return out
 
+    def _collect_col_stats(
+        self, files: dict[str, list[str]], cols: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """Per-file [min, max] zone maps for ``cols`` (the table's
+        ``stats_columns`` property) from parquet footers — the
+        multi-column twin of :meth:`_collect_file_stats`, powering
+        ``read(zone_between=...)`` file skipping on columns OTHER than
+        the bucket key (ClickHouse's multi-column ``ORDER BY
+        (campaign_id, event_date)`` primary index, reference
+        init.sql:41; Delta/Iceberg column-stats skipping after a
+        Z-ORDER rewrite). Temporal values are normalized to ISO-8601
+        strings (lexicographic == chronological), so probes must use
+        matching datetime/date objects. A column missing stats in a
+        file never prunes that file."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:
+            return {}
+
+        out: dict[str, dict[str, list]] = {}
+        for fl in files.values():
+            for rel in fl:
+                try:
+                    md = pq.read_metadata(os.path.join(self.path, rel))
+                except Exception:
+                    continue
+                if not md.num_row_groups:
+                    continue
+                name_to_idx = {
+                    md.row_group(0).column(j).path_in_schema: j
+                    for j in range(md.num_columns)
+                }
+                per_col: dict[str, list] = {}
+                for col in cols:
+                    idx = name_to_idx.get(col)
+                    if idx is None:
+                        continue
+                    mins, maxs = [], []
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            mins = []
+                            break
+                        lo, hi = _zone_value(st.min), _zone_value(st.max)
+                        if lo is None or hi is None:
+                            mins = []
+                            break
+                        mins.append(lo)
+                        maxs.append(hi)
+                    if mins:
+                        per_col[col] = [min(mins), max(maxs)]
+                if per_col:
+                    out[rel] = per_col
+        return out
+
     def _commit_next(
         self,
         new_id: int,
@@ -794,6 +946,10 @@ class LakeTable:
             **self.manifest.get("file_stats", {}),
             **self._last_write_stats,
         }
+        merged_col_stats = {
+            **self.manifest.get("col_stats", {}),
+            **self._last_write_col_stats,
+        }
         manifest.update(
             {
                 "snapshot_id": new_id,
@@ -807,6 +963,9 @@ class LakeTable:
                     else list(self.manifest.get("delta_buckets", []))
                 ),
                 "file_stats": {f: s for f, s in merged_stats.items() if f in live},
+                "col_stats": {
+                    f: s for f, s in merged_col_stats.items() if f in live
+                },
             }
         )
         self._commit(manifest)

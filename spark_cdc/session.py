@@ -67,6 +67,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Spark's default parquet timestamp encoding is legacy INT96,
+        # which carries NO footer min/max statistics — that silently
+        # disables both parquet row-group skipping and the manifest
+        # zone maps (col_stats) on timestamp columns. int64 micros is
+        # the modern encoding every reader (Iceberg, DuckDB, pyarrow)
+        # expects and keeps stats.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_CDC_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

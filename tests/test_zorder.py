@@ -1,0 +1,138 @@
+"""Z-order clustering + multi-column zone maps: after zorder_compact,
+range probes on EITHER clustered column skip most data files while
+results stay exactly equal to a full-scan filter; MoR multi-version
+buckets are never zone-pruned (stale-resurrection guard)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_cdc.lake.maintenance import zorder_compact
+from spark_cdc.lake.table import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("v", T.LongType(), True),
+    ]
+)
+
+EPOCH = datetime.datetime(2024, 1, 1)
+
+
+def _mk_table(spark, path, n=40_000, buckets=4):
+    tbl = LakeTable.create(spark, path, SCHEMA, key_columns=["k"], num_buckets=buckets)
+    # ts decorrelated from k's hash-bucket: every bucket spans the full
+    # 64-day range, so pre-clustering a time probe can prune nothing
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.lit(EPOCH) + F.make_interval(mins=F.pmod(F.col("id") * 7919, F.lit(64 * 1440)))).alias("ts"),
+        (F.col("id") % 100).alias("v"),
+    )
+    tbl.append(df)
+    return tbl
+
+
+def _rows(df):
+    return sorted((r["k"], r["ts"], r["v"]) for r in df.collect())
+
+
+def test_zorder_prunes_files_and_preserves_results(spark, tmp_path):
+    tbl = _mk_table(spark, str(tmp_path / "t"))
+    lo, hi = EPOCH + datetime.timedelta(days=10), EPOCH + datetime.timedelta(days=14)
+    window = {"ts": (lo, hi)}
+    want = _rows(tbl.read().where(F.col("ts").between(F.lit(lo), F.lit(hi))))
+    assert len(want) > 1000
+
+    # before clustering: no zone maps → the probe reads every file
+    before = tbl.selected_files(zone_between=window)
+    assert len(before) == len(tbl.selected_files())
+
+    cols = zorder_compact(tbl, ["k", "ts"], files_per_bucket=16)
+    assert cols == ["k", "ts"]
+    assert tbl.properties["stats_columns"] == ["k", "ts"]
+
+    total = tbl.selected_files()
+    assert len(total) >= 32  # multiple files per bucket → sub-bucket zones
+    pruned = tbl.selected_files(zone_between=window)
+    # a 4/64-day window must skip well over half the files
+    assert len(pruned) <= len(total) // 2, (len(pruned), len(total))
+    assert _rows(tbl.read(zone_between=window)) == want
+
+    # the OTHER clustered column prunes too (the property lexicographic
+    # key-sort cannot give): a narrow k range
+    kwin = {"k": (1000, 4999)}
+    kpruned = tbl.selected_files(zone_between=kwin)
+    assert len(kpruned) <= len(total) // 2, (len(kpruned), len(total))
+    got = _rows(tbl.read(zone_between=kwin))
+    assert got == _rows(tbl.read().where(F.col("k").between(1000, 4999)))
+
+
+def test_zone_maps_recorded_on_subsequent_writes(spark, tmp_path):
+    tbl = _mk_table(spark, str(tmp_path / "t"), n=5_000)
+    zorder_compact(tbl, ["ts"], files_per_bucket=2)
+    # a later plain append (post-OPTIMIZE ingest) records zone maps too
+    extra = spark.range(5_000, 6_000).select(
+        F.col("id").alias("k"),
+        F.lit(EPOCH + datetime.timedelta(days=400)).alias("ts"),
+        F.lit(7).alias("v"),
+    )
+    tbl.append(extra)
+    far = {"ts": (EPOCH + datetime.timedelta(days=399),
+                  EPOCH + datetime.timedelta(days=401))}
+    sel = tbl.selected_files(zone_between=far)
+    # only the freshly-appended files can hold day-400 rows
+    assert 0 < len(sel) < len(tbl.selected_files())
+    assert tbl.read(zone_between=far).count() == 1000
+
+
+def test_zone_pruning_never_resurrects_mor_versions(spark, tmp_path):
+    """An update that moves a key's ts OUT of the probed window must
+    make the key vanish from the windowed read — even though the delta
+    file holding the new version has out-of-range stats. Guarded by
+    (a) no zone file-pruning in delta buckets, (b) the row predicate
+    applying after MoR resolution."""
+    from spark_cdc.lake.table import V_DEL, V_GEN, V_SEQ, V_TS, BUCKET_COL, bucket_expr
+
+    tbl = _mk_table(spark, str(tmp_path / "t"), n=2_000)
+    zorder_compact(tbl, ["ts"], files_per_bucket=2)
+    lo, hi = EPOCH + datetime.timedelta(days=10), EPOCH + datetime.timedelta(days=14)
+    window = {"ts": (lo, hi)}
+    in_window = _rows(tbl.read(zone_between=window))
+    moved_k = in_window[0][0]
+    # MoR-append a newer version of that key far outside the window
+    newer = spark.createDataFrame(
+        [(moved_k, EPOCH + datetime.timedelta(days=500), 99)], SCHEMA
+    ).select(
+        "*",
+        F.lit(EPOCH + datetime.timedelta(days=500)).alias(V_TS),
+        F.lit(10_000_000).alias(V_SEQ).cast("long"),
+        F.lit(False).alias(V_DEL),
+        F.lit(99).cast("long").alias(V_GEN),
+    ).withColumn(BUCKET_COL, bucket_expr("k", tbl.num_buckets))
+    tbl.append_deltas(newer)
+    got = _rows(tbl.read(zone_between=window))
+    assert moved_k not in {r[0] for r in got}
+    assert got == [r for r in in_window if r[0] != moved_k]
+    # and the moved key resolves to its NEW version on a plain read
+    row = tbl.read().where(F.col("k") == moved_k).collect()
+    assert len(row) == 1 and row[0]["v"] == 99
+
+
+def test_zorder_rejects_string_columns(spark, tmp_path):
+    tbl = _mk_table(spark, str(tmp_path / "t"), n=100)
+    import pytest
+
+    tbl2 = LakeTable.create(
+        spark, str(tmp_path / "s"),
+        T.StructType([T.StructField("a", T.StringType(), True)]),
+    )
+    tbl2.append(spark.createDataFrame([("x",)], "a string"))
+    with pytest.raises(ValueError, match="zorder column"):
+        zorder_compact(tbl2, ["a"])
+    with pytest.raises(ValueError, match="unknown column"):
+        zorder_compact(tbl, ["nope"])
