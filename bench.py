@@ -746,6 +746,72 @@ def run_distinct_maint(spark) -> list:
     return maint_ms
 
 
+def run_zone_probe(spark) -> dict:
+    """Z-order + zone-map serving evidence: one 2M-row table, a 1/16
+    time-window analytics probe before vs after `zorder_compact`, plus
+    the rewrite cost itself. The pruned probe must read a fraction of
+    the files (ratio reported) at matching results — the ClickHouse
+    multi-column ORDER BY / Delta ZORDER serving story with a measured
+    point."""
+    import datetime
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from spark_cdc.lake.maintenance import zorder_compact
+    from spark_cdc.lake.table import LakeTable
+
+    base_dir = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    base = os.path.join(base_dir, "spark_cdc_bench_zone")
+    _sh.rmtree(base, ignore_errors=True)
+    epoch = datetime.datetime(2024, 1, 1)
+    tbl = LakeTable.create(
+        spark, base + "/t",
+        T.StructType([
+            T.StructField("k", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("v", T.LongType(), True),
+        ]),
+        key_columns=["k"], num_buckets=8,
+    )
+    n = 2_000_000
+    tbl.append(spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.lit(epoch) + F.make_interval(
+            mins=F.pmod(F.col("id") * 7919, F.lit(64 * 1440)))).alias("ts"),
+        (F.col("id") % 1000).alias("v"),
+    ))
+    lo = epoch + datetime.timedelta(days=30)
+    hi = epoch + datetime.timedelta(days=34)
+
+    def probe(zone: bool) -> tuple[float, int]:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            df = (tbl.read(zone_between={"ts": (lo, hi)}) if zone
+                  else tbl.read().where(F.col("ts").between(F.lit(lo), F.lit(hi))))
+            rows = df.agg(F.count(F.lit(1)), F.sum("v")).first()
+            best = min(best, time.monotonic() - t0)
+        return best, int(rows[0])
+
+    full_sec, full_rows = probe(zone=False)
+    t0 = time.monotonic()
+    zorder_compact(tbl, ["k", "ts"], files_per_bucket=24)
+    build_sec = time.monotonic() - t0
+    pruned_sec, pruned_rows = probe(zone=True)
+    assert pruned_rows == full_rows, (pruned_rows, full_rows)
+    total = len(tbl.selected_files())
+    kept = len(tbl.selected_files(zone_between={"ts": (lo, hi)}))
+    _sh.rmtree(base, ignore_errors=True)
+    return {
+        "zone_probe_sec_full": round(full_sec, 3),
+        "zone_probe_sec_pruned": round(pruned_sec, 3),
+        "zone_zorder_build_sec": round(build_sec, 3),
+        "zone_files_kept_frac": round(kept / max(total, 1), 3),
+    }
+
+
 def _stolen_retry(fn, threshold: float = 0.05):
     """Run ``fn`` inside a StealWindow; if the hypervisor stole more
     than ``threshold`` of the window, run it ONCE more and keep the
@@ -922,6 +988,10 @@ def main() -> None:
     with StealWindow() as sw_dv:
         distinct_ivm_ms = run_distinct_maint(spark)
     q_steals["distinct_maint_window"] = sw_dv.steal_ratio
+    with StealWindow() as sw_zp:
+        zone = run_zone_probe(spark)
+    q_steals["zone_probe_window"] = sw_zp.steal_ratio
+    queries.update(zone)
     total = round(
         cdc["elapsed_sec"] + cdc["compact_sec"] + cdc_cow["elapsed_sec"]
         + cdc_skew["elapsed_sec"] + cdc_routed["elapsed_sec"]

@@ -112,7 +112,15 @@ def zorder_compact(
     written column list (== stats_columns afterwards). Hash bucketing
     by the merge key is preserved — point lookups and MERGE routing
     are untouched; this only reorders rows WITHIN buckets across
-    files."""
+    files.
+
+    Interaction with ongoing ingest: later merges/appends still record
+    zone maps (stats_columns persists), but write key-sorted files, so
+    freshly-ingested data carries wide zone ranges until the next
+    z-order pass — exactly ClickHouse's fresh-part / merged-part
+    story. A plain binpack :func:`compact` likewise re-sorts by key;
+    schedule ``zorder_compact`` as the periodic OPTIMIZE instead of
+    binpack on tables that serve multi-column range probes."""
     from pyspark.sql import Window
 
     schema = {f.name: f.dataType.simpleString() for f in table.schema.fields}
