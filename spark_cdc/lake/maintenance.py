@@ -108,8 +108,18 @@ def zorder_compact(
     presorted bucket-dir write. Cost is one full rewrite, the same as
     any OPTIMIZE; run it at the cadence ClickHouse runs part merges.
 
-    ``cols`` must be numeric, date or timestamp columns. Returns the
-    written column list (== stats_columns afterwards). Hash bucketing
+    ``cols`` must be numeric, date, timestamp or string columns
+    (strings cluster by exact 5-byte-prefix lexicographic rank).
+    Returns the written column list (== stats_columns afterwards).
+
+    Ranks are linearly min/max-normalized — scale-cheap (one bounded
+    aggregate, no sampling pass), but a heavily skewed value
+    distribution bunches into few cells and widens per-file ranges;
+    a low-cardinality clumped string (language tags) belongs in a
+    bucket/partition spec, not a z-order — z-order earns its keep on
+    high-cardinality range-probed columns (timestamps, external ids).
+    Equal-frequency (quantile) normalization is the known upgrade if
+    a skewed numeric column ever needs tight cells. Hash bucketing
     by the merge key is preserved — point lookups and MERGE routing
     are untouched; this only reorders rows WITHIN buckets across
     files.
@@ -128,10 +138,41 @@ def zorder_compact(
         t = schema.get(c)
         if t is None:
             raise ValueError(f"unknown column {c!r}")
-        ok = t.startswith(("int", "bigint", "smallint", "tinyint",
-                           "float", "double", "decimal", "date", "timestamp"))
+        ok = t.startswith(("int", "bigint", "smallint", "tinyint", "float",
+                           "double", "decimal", "date", "timestamp", "string"))
         if not ok:
             raise ValueError(f"zorder column {c!r} has unorderable-for-zone type {t}")
+
+    string_cols = [c for c in cols if schema[c] == "string"]
+    char_stats: dict[str, list[tuple[int, int]]] = {}
+    if string_cols:
+        # per-position observed char range over the first 5 bytes: the
+        # string rank is the MIXED-RADIX number in those ranges —
+        # monotone lexicographic (digit-wise comparison of a mixed-
+        # radix number IS lexicographic comparison), and DENSE for
+        # structured ids. A plain base-128 prefix number is formally
+        # monotone too, but real ids ("c01234", hex uuids) occupy a
+        # log-sparse sliver of base-128 space, so linear min/max
+        # normalization collapses most ranks into a few cells and the
+        # z-curve loses the dimension entirely (measured: median
+        # per-file id span ≈ half the id space). One bounded extra
+        # aggregate buys dense ranks.
+        src = table.read()
+
+        def ch(c, i):
+            return F.ascii(F.substring(F.coalesce(F.col(c), F.lit("")), i, 1))
+
+        row = src.agg(*[
+            f(ch(c, i)).alias(f"{tag}_{k}_{i}")
+            for k, c in enumerate(string_cols)
+            for i in range(1, 6)
+            for tag, f in (("mn", F.min), ("mx", F.max))
+        ]).first()
+        for k, c in enumerate(string_cols):
+            char_stats[c] = [
+                (int(row[f"mn_{k}_{i}"] or 0), int(row[f"mx_{k}_{i}"] or 0))
+                for i in range(1, 6)
+            ]
 
     def as_num(c):
         t = schema[c]
@@ -141,6 +182,21 @@ def zorder_compact(
             return col.cast("timestamp").cast("double")
         if t == "date":
             return col.cast("timestamp").cast("double")
+        if t == "string":
+            num = F.lit(0.0)
+            for i in range(1, 6):
+                mn, mx = char_stats[c][i - 1]
+                radix = max(mx - mn + 1, 1)
+                chi = F.least(
+                    F.greatest(
+                        F.coalesce(F.ascii(F.substring(col, i, 1)), F.lit(0))
+                        - F.lit(mn),
+                        F.lit(0),
+                    ),
+                    F.lit(radix - 1),
+                )
+                num = num * float(radix) + chi
+            return num
         return col.cast("double")
 
     # persist stats_columns FIRST (its own snapshot, like ALTER TABLE

@@ -123,15 +123,49 @@ def test_zone_pruning_never_resurrects_mor_versions(spark, tmp_path):
     assert len(row) == 1 and row[0]["v"] == 99
 
 
-def test_zorder_rejects_string_columns(spark, tmp_path):
+def test_zorder_string_column_prefix_clustering(spark, tmp_path):
+    """String columns cluster by lexicographic prefix rank: a range
+    probe on an external string id (crawl/source ids — high
+    cardinality, roughly uniform prefix space) skips most files. (A
+    LOW-cardinality bunched-prefix string like a language tag gets
+    coarse cells under the linear rank normalization — that use-case
+    is bucketing's, not z-order's; documented in zorder_compact.)"""
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "docs"),
+        T.StructType([
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("ext_id", T.StringType(), True),
+            T.StructField("n_tokens", T.LongType(), True),
+        ]),
+        key_columns=["doc_id"], num_buckets=4,
+    )
+    tbl.append(spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("c%05d", F.pmod(F.col("id") * 7919, F.lit(20_000))).alias("ext_id"),
+        (F.col("id") % 512).alias("n_tokens"),
+    ))
+    zorder_compact(tbl, ["ext_id", "n_tokens"], files_per_bucket=16)
+    total = tbl.selected_files()
+    win = {"ext_id": ("c01000", "c01999")}  # 1/20 of the id space
+    kept = tbl.selected_files(zone_between=win)
+    assert len(kept) <= len(total) // 2, (len(kept), len(total))
+    got = sorted(r["doc_id"] for r in tbl.read(zone_between=win).collect())
+    want = sorted(
+        r["doc_id"]
+        for r in tbl.read().where(F.col("ext_id").between("c01000", "c01999")).collect()
+    )
+    assert got == want and len(want) == 1000
+
+
+def test_zorder_rejects_bad_columns(spark, tmp_path):
     tbl = _mk_table(spark, str(tmp_path / "t"), n=100)
     import pytest
 
     tbl2 = LakeTable.create(
         spark, str(tmp_path / "s"),
-        T.StructType([T.StructField("a", T.StringType(), True)]),
+        T.StructType([T.StructField("a", T.ArrayType(T.LongType()), True)]),
     )
-    tbl2.append(spark.createDataFrame([("x",)], "a string"))
+    tbl2.append(spark.createDataFrame([([1, 2],)], "a array<bigint>"))
     with pytest.raises(ValueError, match="zorder column"):
         zorder_compact(tbl2, ["a"])
     with pytest.raises(ValueError, match="unknown column"):
