@@ -13,11 +13,14 @@ Replaces, explicitly instead of implicitly, the semantics ClickHouse
 storage engines carried in the reference
 (/root/reference/etl/clickhouse_schema/init.sql:14,28 —
 ``ReplacingMergeTree(updated_at)`` latest-version-wins; :40,51 —
-monthly partition pruning).
+monthly partition pruning; :41,52 — the multi-column primary index
+``ORDER BY (campaign_id, event_date)``, rendered here as
+``zorder_compact`` + per-file zone maps + ``read(zone_between=...)``).
 """
 
 from spark_cdc.lake.table import LakeTable
 from spark_cdc.lake.merge import merge_changes
-from spark_cdc.lake.maintenance import compact, expire_snapshots
+from spark_cdc.lake.maintenance import compact, expire_snapshots, zorder_compact
 
-__all__ = ["LakeTable", "merge_changes", "compact", "expire_snapshots"]
+__all__ = ["LakeTable", "merge_changes", "compact", "expire_snapshots",
+           "zorder_compact"]
