@@ -21,6 +21,11 @@ from spark_cdc.functions.text import (
     lang_id,
     fingerprint,
 )
+from spark_cdc.functions.pii import (
+    redact_pii,
+    pii_counts,
+    scrub_documents,
+)
 
 __all__ = [
     "parse_timestamp_any",
@@ -32,4 +37,7 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "redact_pii",
+    "pii_counts",
+    "scrub_documents",
 ]

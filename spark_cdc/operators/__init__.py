@@ -22,8 +22,11 @@
   (servable token-bucketed layout, maintained corpus stats), IVF/PQ
   code tables (quantizer-drift monitoring + versioned retrain) and
   generic keyed projections (CDC-live indexes)
-- sampling: deterministic hash splits, context-window chunking (with
-  a model-exact tokenizer hook) and greedy sample packing
+- sampling: deterministic hash splits, temperature-based domain
+  mixture sampling, context-window chunking (with a model-exact
+  tokenizer hook) and greedy sample packing
+- quality: Gopher/C4-style corpus quality gates — five per-document
+  heuristics fused in one JVM scan + configurable keep thresholds
 - examples: transcript → SFT example assembly (prompt/completion
   pairs with whole-turn left-truncation to a token budget, one
   window pass — no prefix self-join)

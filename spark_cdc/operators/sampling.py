@@ -273,3 +273,90 @@ def pack_chunks(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int").alias("pack_bucket"),
     )
     return salted.groupBy("pack_bucket").applyInPandas(pack, schema)
+
+
+def mixture_rates(
+    counts: dict[str, int], alpha: float = 0.5, target_fraction: float = 0.5
+) -> dict[str, float]:
+    """Reference (driver-side) form of the per-domain sampling rate:
+    domain weights ∝ n_d^alpha (temperature-flattened — alpha=1 is
+    natural proportions, alpha=0 uniform across domains), scaled so the
+    expected kept total is target_fraction·N, capped at 1. Used by
+    tests; the distributed path computes the same thing in columns."""
+    n_total = float(sum(counts.values()))
+    wsum = sum(n**alpha for n in counts.values())
+    return {
+        d: min(1.0, target_fraction * n_total * (n**alpha / wsum) / n)
+        for d, n in counts.items()
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    salt: str = "mix:",
+    precision: int = HEX_PRECISION,
+    sampled_col: str = "sampled",
+) -> DataFrame:
+    """Deterministic temperature-based domain mixture sampling.
+
+    The data-mixing step of a training pipeline: upsample low-resource
+    domains / downsample dominant ones to a target token budget.
+    Per-domain keep rate r_d = min(1, target_fraction·N·w_d/n_d) with
+    w_d = n_d^alpha / Σ n^alpha; a document is kept iff the md5 of
+    (salt + key) falls under the rate's hex threshold — the same
+    hash-assignment discipline as :func:`hash_split` (stable under
+    corpus growth within a domain, engine-portable, pure projection
+    once the tiny rate table is joined back).
+
+    Plan shape: one groupBy(domain) aggregate (domains are few), a
+    literal-key join of two scalar aggregates, then a broadcast join of
+    the rate table back onto the corpus — the big side never shuffles.
+    The rate is rounded to 9 decimals before the 16^precision floor so
+    the threshold is bit-identical across engines (pow() may differ in
+    the last ulp between libm and the JVM).
+
+    ``salt`` decorrelates the sampling hash from :func:`hash_split`'s
+    split hash — a document's split assignment and its mixture draw are
+    independent.
+    """
+    key = F.col(key_col).cast("string")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    totals = counts.agg(
+        F.sum("_n").alias("_n_total"),
+        F.sum(F.pow("_n", F.lit(alpha))).alias("_wsum"),
+    )
+    rates = (
+        counts.withColumn("_k", F.lit(1))
+        .join(F.broadcast(totals.withColumn("_k", F.lit(1))), "_k")
+        .withColumn(
+            "_rate",
+            F.least(
+                F.lit(1.0),
+                F.lit(target_fraction)
+                * F.col("_n_total")
+                * (F.pow("_n", F.lit(alpha)) / F.col("_wsum"))
+                / F.col("_n"),
+            ),
+        )
+        .withColumn(
+            "_bound",
+            F.format_string(
+                f"%0{precision}x",
+                F.floor(F.round("_rate", 9) * F.lit(16**precision)).cast("int"),
+            ),
+        )
+        .select(domain_col, "_rate", "_bound")
+    )
+    h = F.substring(F.md5(F.concat(F.lit(salt), key)), 1, precision)
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .withColumn(
+            sampled_col,
+            ((F.col("_rate") >= 1.0) | (h < F.col("_bound"))).cast("int"),
+        )
+        .drop("_rate", "_bound")
+    )

@@ -57,6 +57,23 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Entries rotated out of the 50-slot driver window to make room for
+# stronger operators; they keep the EXACT same DuckDB value oracle
+# under pytest (tests/test_retired_entries.py mirrors the driver gate
+# over these), so their §2 rows never lose value-checked evidence.
+RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+RETIRED_ORACLES: dict[str, str] = {}
+
+
+def retired(name: str, oracle: str):
+    def deco(fn):
+        RETIRED_QUERIES[name] = fn
+        RETIRED_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
 def build(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return QUERIES[name](spark, sf_dir)
 
@@ -627,7 +644,7 @@ def w1_latest(spark, sf_dir):
     return latest_version_per_key_agg(ev, ["user_id", "event_type"], ("ts", "event_id"))
 
 
-@query(
+@retired(
     "w2_global_sort_limit",
     """
     SELECT event_id, user_id, round(value, 6) AS value
@@ -718,7 +735,7 @@ def setop_except(spark, sf_dir):
     return viewers.subtract(clickers)
 
 
-@query(
+@retired(
     "pivot_event_type_counts",
     """
     SELECT user_id,
@@ -1195,7 +1212,7 @@ def ivm_feed_rollup(spark, sf_dir):
     return rt.read().select("text", "turns", "turn_sum")
 
 
-@query(
+@retired(
     "train_val_split",
     """
     SELECT doc_id,
@@ -2126,3 +2143,156 @@ def stream_window_counts(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return windowed_event_counts(ev, ts_col="ts", group_cols=["event_type"], window="1 hour")
+
+
+@query(
+    "corpus_quality_gates",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), m AS (
+      SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+             round(CASE WHEN len(ws) = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / len(ws) END, 6) AS mean_word_len,
+             round(CASE WHEN len(ws) = 0 THEN 0.0
+                   ELSE 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END, 6) AS dup_word_frac,
+             round(CASE WHEN len(ws) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(ws, x -> list_contains(
+                        ['the','a','an','of','to','in','and','is','on','that'], x))) AS DOUBLE) / len(ws) END, 6) AS stopword_frac,
+             CASE WHEN len(ws) >= 2
+                  THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                  ELSE [] END AS bg
+      FROM w
+    ), t AS (
+      SELECT doc_id, n_words, mean_word_len, dup_word_frac, stopword_frac,
+             round(CASE WHEN len(bg) = 0 THEN 0.0 ELSE (
+               SELECT CAST(max(c) AS DOUBLE) / len(bg)
+               FROM (SELECT count(*) AS c FROM unnest(bg) AS u(b) GROUP BY b)) END, 6) AS top_bigram_frac
+      FROM m)
+    SELECT doc_id, n_words, mean_word_len, dup_word_frac, top_bigram_frac, stopword_frac,
+           CAST(n_words >= 20 AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND dup_word_frac <= 0.6 AND top_bigram_frac <= 0.08
+                AND stopword_frac >= 0.05 AS INT) AS keep
+    FROM t
+    """,
+)
+def corpus_quality_gates(spark, sf_dir):
+    """T18 quality gates (Gopher/C4-style): five per-document heuristic
+    metrics + keep verdict, all fused JVM column expressions in ONE
+    corpus scan — the top-bigram mass is a sort_array + run-length
+    aggregate fold, not a per-doc groupBy. The DuckDB oracle recomputes
+    every metric independently (list lambdas + unnest) and must agree
+    value-for-value. The reference has no quality story; this is the
+    crawl-gate a training pipeline runs before dedup/tokenization."""
+    from spark_cdc.operators.quality import quality_gates
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_gates(docs).select(
+        "doc_id", "n_words", "mean_word_len", "dup_word_frac",
+        "top_bigram_frac", "stopword_frac", F.col("keep").cast("int").alias("keep"),
+    )
+
+
+@query(
+    "pii_redact_documents",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                  || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+                  || CASE WHEN doc_id % 3 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{4}[ \-]\d{4}[ \-]\d{4}[ \-]\d{4}\b', '<CARD>', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        '\b\d{3}[\-.]\d{3}[\-.]\d{4}\b', '<PHONE>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS INT) AS pii_email,
+      CAST(len(regexp_extract_all(text, '\b\d{4}[ \-]\d{4}[ \-]\d{4}[ \-]\d{4}\b')) AS INT) AS pii_card,
+      CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS pii_ssn,
+      CAST(len(regexp_extract_all(text, '\b\d{3}[\-.]\d{3}[\-.]\d{4}\b')) AS INT) AS pii_phone,
+      CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS pii_ipv4,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+         + len(regexp_extract_all(text, '\b\d{4}[ \-]\d{4}[ \-]\d{4}[ \-]\d{4}\b'))
+         + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+         + len(regexp_extract_all(text, '\b\d{3}[\-.]\d{3}[\-.]\d{4}\b'))
+         + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS pii_total
+    FROM d
+    """,
+)
+def pii_redact_documents(spark, sf_dir):
+    """T19 PII scrub: the fixture corpus carries no PII, so the entry
+    first DECORATES each document with deterministic doc_id-derived
+    identifiers (email / IPv4 / SSN / phone / optional card) — both
+    engines build the identical string — then redacts with the shared
+    Java-regex ∩ RE2 pattern set and reports raw-exposure counts. The
+    value hash compares the redacted text byte-for-byte, so any
+    dialect drift in the patterns fails loudly."""
+    from spark_cdc.functions.pii import scrub_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    decorated = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+            F.lit(" ip 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."), ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" ssn "), F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"), F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" tel 555-"), F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"), F.lpad(((F.col("doc_id") * 3) % 10000).cast("string"), 4, "0"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" card 4111 1111 1111 1111")).otherwise(F.lit("")),
+        ),
+    )
+    return scrub_documents(decorated).select(
+        "doc_id", "text", "pii_email", "pii_card", "pii_ssn",
+        "pii_phone", "pii_ipv4", "pii_total",
+    )
+
+
+@query(
+    "mixture_sample_split",
+    """
+    WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+    t AS (SELECT sum(n) AS n_total, sum(pow(n, 0.5)) AS wsum FROM c),
+    r AS (SELECT lang, least(1.0, 0.5 * t.n_total * (pow(n, 0.5) / t.wsum) / n) AS rate
+          FROM c, t),
+    b AS (SELECT lang, rate,
+            printf('%04x', CAST(floor(round(rate, 9) * 65536) AS INT)) AS bound
+          FROM r)
+    SELECT d.doc_id, d.lang,
+      CAST(b.rate >= 1.0 OR substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4) < b.bound AS INT) AS sampled,
+      CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+           WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+           ELSE 'test' END AS split
+    FROM documents d JOIN b USING (lang)
+    """,
+)
+def mixture_sample_split(spark, sf_dir):
+    """T20 mixture sampling + T15 split in one entry (superset of the
+    retired train_val_split, whose exact split column this reproduces).
+    Temperature alpha=0.5 flattens the language distribution toward a
+    0.5 target fraction; keep/rate is a pure function of (domain counts,
+    md5 of salted key) so DuckDB reproduces every row. Plan: tiny
+    domain aggregate -> literal-key scalar join -> broadcast rate join
+    back; the corpus side never shuffles."""
+    from spark_cdc.operators.sampling import hash_split_col, mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        mixture_sample(docs, "lang", "doc_id", alpha=0.5, target_fraction=0.5)
+        .withColumn("split", hash_split_col("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}))
+        .select("doc_id", "lang", "sampled", "split")
+    )

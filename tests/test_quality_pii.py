@@ -1,0 +1,204 @@
+"""Quality gates (T18), PII redaction (T19), mixture sampling (T20):
+unit semantics, driver-side reference parity, and plan-shape asserts.
+The driver-oracle entries (corpus_quality_gates, pii_redact_documents,
+mixture_sample_split) pin full value equality vs DuckDB; these tests
+pin the semantics the oracle can't see — edge cases, idempotence,
+expected sampling mass, and the no-shuffle plan shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_cdc.functions.pii import PII_PATTERNS, pii_counts, redact_pii, scrub_documents
+from spark_cdc.operators.quality import (
+    DEFAULT_GATES,
+    filter_quality,
+    quality_gates,
+)
+from spark_cdc.operators.sampling import mixture_rates, mixture_sample
+
+
+# ---------------------------------------------------------------- quality
+
+def test_quality_metrics_hand_computed(spark):
+    # "a b a b a b": 6 words, bigrams [a b, b a, a b, b a, a b] -> top 3/5
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, ""),
+            (3, "   \t "),
+            (4, "one"),
+            (5, "the quick brown fox jumps over the lazy dog again"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_gates(df).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 6
+    assert r1["mean_word_len"] == 1.0
+    assert r1["dup_word_frac"] == pytest.approx(1 - 2 / 6, abs=1e-6)
+    assert r1["top_bigram_frac"] == pytest.approx(3 / 5, abs=1e-6)
+    assert r1["stopword_frac"] == pytest.approx(3 / 6, abs=1e-6)  # 'a' x3
+    # empty / whitespace-only: all metrics zero, gated out
+    for d in (2, 3):
+        r = rows[d]
+        assert r["n_words"] == 0
+        assert (
+            r["mean_word_len"] == r["dup_word_frac"]
+            == r["top_bigram_frac"] == r["stopword_frac"] == 0.0
+        )
+        assert not r["keep"]
+    # single word: no bigrams -> frac 0, not NULL/NaN
+    assert rows[4]["top_bigram_frac"] == 0.0
+    r5 = rows[5]
+    assert r5["n_words"] == 10
+    assert r5["dup_word_frac"] == pytest.approx(1 - 9 / 10, abs=1e-6)  # 'the' twice
+    assert r5["top_bigram_frac"] == pytest.approx(1 / 9, abs=1e-6)
+    assert r5["stopword_frac"] == pytest.approx(2 / 10, abs=1e-6)
+
+
+def test_quality_gate_thresholds_and_filter(spark):
+    """keep is the AND of the five gates; filter_quality preserves the
+    caller's schema and drops exactly the failing docs."""
+    good = "the quick brown fox jumps over a lazy dog and then it sits on that hill to rest in peace for an hour"
+    df = spark.createDataFrame(
+        [
+            (1, good),  # passes all
+            (2, "word " * 30),  # dup_word_frac ~0.97, top bigram 1.0
+            (3, "tiny doc the end"),  # n_words < 20
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["keep"] for r in quality_gates(df).collect()}
+    assert got == {1: True, 2: False, 3: False}
+    kept = filter_quality(df)
+    assert kept.columns == df.columns
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    # custom gates override defaults
+    loose = quality_gates(df, gates={**DEFAULT_GATES, "min_words": 1,
+                                     "max_dup_word_frac": 1.0,
+                                     "max_top_bigram_frac": 1.0,
+                                     "min_stopword_frac": 0.0})
+    assert all(r["keep"] for r in loose.collect())
+
+
+def test_quality_gates_single_scan_no_shuffle(spark, sf_dir="/root/testdata/sf0.001"):
+    """The whole gate is a projection: no Exchange anywhere in the plan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = quality_gates(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# -------------------------------------------------------------------- pii
+
+CASES = [
+    ("mail me at jane.doe+x@sub.example.co.uk now", "<EMAIL>", "jane.doe+x@sub.example.co.uk"),
+    ("cards 4111 1111 1111 1111 and 5500-0000-0000-0004", "<CARD>", "4111 1111 1111 1111"),
+    ("ssn 123-45-6789.", "<SSN>", "123-45-6789"),
+    ("call 555-867-5309 or 555.867.5309", "<PHONE>", "555-867-5309"),
+    ("host 192.168.0.1 responded", "<IP>", "192.168.0.1"),
+]
+
+
+def test_pii_redaction_per_type(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _, _) in enumerate(CASES)], "id long, text string"
+    )
+    got = {r["id"]: r["text"] for r in
+           df.select("id", redact_pii(F.col("text")).alias("text")).collect()}
+    for i, (raw, tag, ident) in enumerate(CASES):
+        assert tag in got[i], (raw, got[i])
+        assert ident not in got[i], (raw, got[i])
+
+
+def test_pii_counts_and_total(spark):
+    # NOTE: a word separates phone and card — the longer all-digit
+    # card pattern runs first and would otherwise consume the phone's
+    # trailing 4 digits plus the card's first 12 (adjacent PII is
+    # redacted either way, just under one tag instead of two)
+    text = ("a@b.co c@d.org 10.0.0.1 123-45-6789 555-123-4567 card "
+            "4111 1111 1111 1111")
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    out = scrub_documents(df).collect()[0]
+    assert out["pii_email"] == 2
+    assert out["pii_ipv4"] == 1
+    assert out["pii_ssn"] == 1
+    assert out["pii_phone"] == 1
+    assert out["pii_card"] == 1
+    assert out["pii_total"] == 6
+    # every identifier replaced in the redacted text
+    for tag in ("<EMAIL>", "<IP>", "<SSN>", "<PHONE>", "<CARD>"):
+        assert tag in out["text"]
+
+
+def test_pii_redaction_idempotent_and_subset(spark):
+    """Redacting already-redacted text is a no-op; `types` restricts."""
+    text = "a@b.co and 10.0.0.1"
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    once = df.select(redact_pii(F.col("text")).alias("text"))
+    twice = once.select(redact_pii(F.col("text")).alias("text"))
+    assert once.collect() == twice.collect()
+    only_email = df.select(redact_pii(F.col("text"), types=["email"]).alias("text")).collect()[0]["text"]
+    assert "<EMAIL>" in only_email and "10.0.0.1" in only_email
+
+
+def test_pii_patterns_re2_compatible():
+    """Every shipped pattern must stay inside the RE2 subset so the
+    DuckDB oracle (and any Go/Rust sidecar scrubber) reproduces the
+    redaction exactly: no backrefs, no lookaround."""
+    for name, pat, _ in PII_PATTERNS:
+        assert "(?=" not in pat and "(?!" not in pat and "(?<" not in pat, name
+        assert "\\1" not in pat, name
+
+
+# ---------------------------------------------------------------- mixture
+
+def test_mixture_rates_reference_form():
+    counts = {"en": 800, "fr": 100, "zh": 100}
+    r1 = mixture_rates(counts, alpha=1.0, target_fraction=0.4)
+    # alpha=1: every domain keeps exactly the target fraction
+    assert all(abs(v - 0.4) < 1e-12 for v in r1.values())
+    r05 = mixture_rates(counts, alpha=0.5, target_fraction=0.4)
+    # temperature flattening: dominant domain downsampled harder
+    assert r05["en"] < 0.4 < r05["fr"] == r05["zh"]
+    # rates cap at 1
+    rcap = mixture_rates({"en": 1000, "xx": 1}, alpha=0.0, target_fraction=0.9)
+    assert rcap["xx"] == 1.0
+
+
+def test_mixture_sample_mass_and_determinism(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = mixture_sample(docs, "lang", "doc_id", alpha=0.5, target_fraction=0.5)
+    rows = out.select("doc_id", "lang", "sampled").collect()
+    n = len(rows)
+    kept = sum(r["sampled"] for r in rows)
+    # expected mass = target_fraction +- hash noise (4-hex granularity,
+    # 500 docs -> generous band)
+    assert 0.38 <= kept / n <= 0.62
+    # per-domain mass follows the computed rate
+    counts = {r["lang"]: 0 for r in rows}
+    keptc = dict(counts)
+    for r in rows:
+        counts[r["lang"]] += 1
+        keptc[r["lang"]] += r["sampled"]
+    rates = mixture_rates(counts, alpha=0.5, target_fraction=0.5)
+    for d, rate in rates.items():
+        assert abs(keptc[d] / counts[d] - rate) < 0.2, d
+    # pure function of (key, domain counts): identical on re-run
+    again = {(r["doc_id"]): r["sampled"]
+             for r in mixture_sample(docs, "lang", "doc_id", alpha=0.5,
+                                     target_fraction=0.5).collect()}
+    assert all(again[r["doc_id"]] == r["sampled"] for r in rows)
+
+
+def test_mixture_sample_plan_broadcasts_rates(spark):
+    """The corpus side must not shuffle: the rate table joins back via
+    broadcast, and no SortMergeJoin appears anywhere."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        mixture_sample(docs, "lang", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
