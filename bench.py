@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "sessionize_conversations",
     "dedup_exact_corpus",
     "multimodal_decode",
+    "corpus_quality_gates",
+    "pii_redact_documents",
+    "mixture_sample_split",
 ]
 
 

@@ -202,3 +202,93 @@ def test_mixture_sample_plan_broadcasts_rates(spark):
     )
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+# ----------------------------------------------- CDC-maintained store
+
+def test_quality_store_maintained_via_feed(spark, tmp_path):
+    """quality_gates is a keyed row-wise projection, so the generic
+    MaintainedProjection keeps a CDC-live per-document quality store:
+    maintained metrics == re-running the gates on the final corpus
+    after insert/update/delete batches. Also a regression probe for
+    the Spark 4.1 PruneFilters union+lambda landmine: the gate's
+    higher-order-function metrics sit inside a union branch (projection
+    ∪ tombstones) whose result the MERGE then joins."""
+    from pyspark.sql import types as T
+
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.lake.feed import ChangeFeedConsumer
+    from spark_cdc.lake.table import LakeTable
+    from spark_cdc.operators.index_maint import MaintainedProjection
+
+    docs_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ])
+
+    def project(df):
+        return quality_gates(df, text_col="text").select(
+            "doc_id", "n_words", "mean_word_len", "dup_word_frac",
+            "top_bigram_frac", "stopword_frac",
+            F.col("keep").cast("boolean").alias("keep"),
+        )
+
+    q_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_words", T.IntegerType(), True),
+        T.StructField("mean_word_len", T.DoubleType(), True),
+        T.StructField("dup_word_frac", T.DoubleType(), True),
+        T.StructField("top_bigram_frac", T.DoubleType(), True),
+        T.StructField("stopword_frac", T.DoubleType(), True),
+        T.StructField("keep", T.BooleanType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ])
+    docs = LakeTable.create(
+        spark, str(tmp_path / "docs"), docs_schema,
+        key_columns=["doc_id"], num_buckets=4,
+    )
+    store = LakeTable.create(
+        spark, str(tmp_path / "quality"), q_schema,
+        key_columns=["doc_id"], num_buckets=4,
+    )
+    maint = MaintainedProjection(
+        store, ChangeFeedConsumer(docs, str(tmp_path / "cursor")), project
+    )
+
+    def env(rows, i, op):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return df.select(
+            F.col("doc_id").alias("lsn"),
+            F.lit(i).cast("long").alias("op_seq"),
+            F.lit(op).alias("op"),
+            "doc_id", "text",
+            F.timestamp_seconds(F.lit(i)).alias("ts"),
+        )
+
+    texts = [
+        (i, f"the doc w{i} talks of a value and that value repeats in "
+            f"a table of sorts with key k{i} on it to make twenty words")
+        for i in range(20)
+    ]
+    apply_batch(docs, env(texts, 0, "c"), batch_id=0, collect_lineage=False)
+    maint.catch_up()
+    # update one doc to degenerate repetition, delete another
+    apply_batch(docs, env([(3, "spam " * 25)], 1, "c"), batch_id=1,
+                collect_lineage=False)
+    apply_batch(docs, env([(7, None)], 2, "d"), batch_id=2,
+                collect_lineage=False)
+    maint.catch_up()
+
+    def as_map(df):
+        return {
+            r["doc_id"]: (r["n_words"], r["mean_word_len"], r["dup_word_frac"],
+                          r["top_bigram_frac"], r["stopword_frac"], r["keep"])
+            for r in df.collect()
+        }
+
+    want = as_map(project(docs.read().select("doc_id", "text")))
+    got = as_map(maint.read().drop("ts"))
+    assert got == want
+    assert 7 not in got
+    assert got[3][5] is False  # the spam rewrite fails the gates
