@@ -154,6 +154,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_comp.add_argument("--zorder-files-per-bucket", type=int, default=4)
 
+    p_maint = sub.add_parser(
+        "maintain",
+        help="manifest-only maintenance planner (+ --apply to execute): "
+        "fragmented-bucket compaction, snapshot expiry, z-order "
+        "recluster advice from recorded zone-map degradation",
+    )
+    p_maint.add_argument("--table", required=True)
+    p_maint.add_argument("--max-files-per-bucket", type=int, default=4)
+    p_maint.add_argument("--keep-snapshots", type=int, default=3)
+    p_maint.add_argument("--zorder-overlap-threshold", type=float, default=0.5)
+    p_maint.add_argument("--apply", action="store_true",
+                         help="execute the plan instead of just printing it")
+
     p_check = sub.add_parser(
         "check", help="table integrity check (lake fsck); exit 1 on damage"
     )
@@ -215,6 +228,27 @@ def main(argv: list[str] | None = None) -> int:
             out["compacted_buckets"] = compact(table)
         stats = expire_snapshots(table, keep_last=args.keep_snapshots)
         print(json.dumps({**out, **stats}))
+        return 0
+
+    if args.cmd == "maintain":
+        from spark_cdc.lake.maintenance import plan_maintenance, run_maintenance
+
+        table = LakeTable.load(spark, args.table)
+        plan = plan_maintenance(
+            table,
+            max_files_per_bucket=args.max_files_per_bucket,
+            keep_last=args.keep_snapshots,
+            zorder_overlap_threshold=args.zorder_overlap_threshold,
+        )
+        if args.apply:
+            did = run_maintenance(
+                table, plan,
+                max_files_per_bucket=args.max_files_per_bucket,
+                keep_last=args.keep_snapshots,
+            )
+            print(json.dumps(did))
+        else:
+            print(json.dumps(plan))
         return 0
 
     if args.cmd == "feed-mirror":

@@ -291,3 +291,122 @@ def expire_snapshots(table: LakeTable, keep_last: int = 3) -> dict:
             os.remove(p)
             removed_manifests += 1
     return {"removed_data_dirs": removed_files, "removed_manifests": removed_manifests}
+
+
+def _overlap_fraction(ranges: list[tuple]) -> float:
+    """Fraction of file pairs whose [min, max] ranges overlap — the
+    clustering-quality signal. Disjoint sorted files → 0.0 (every
+    probe hits ≤1 file); freshly-merged unclustered files → ~1.0
+    (every probe scans the bucket). Type-agnostic: works on any
+    ordered stats values (ints, floats, ISO date strings). O(n²) per
+    bucket on the handful of files a bucket holds — driver arithmetic
+    over the manifest, no I/O."""
+    n = len(ranges)
+    if n < 2:
+        return 0.0
+    hits = 0
+    for i in range(n):
+        lo_i, hi_i = ranges[i]
+        for j in range(i + 1, n):
+            lo_j, hi_j = ranges[j]
+            if lo_i <= hi_j and lo_j <= hi_i:
+                hits += 1
+    return hits / (n * (n - 1) / 2)
+
+
+def plan_maintenance(
+    table: LakeTable,
+    max_files_per_bucket: int = 4,
+    keep_last: int = 3,
+    zorder_overlap_threshold: float = 0.5,
+    min_files_for_zorder: int = 8,
+) -> dict:
+    """Advise maintenance actions from the manifest ALONE — zero Spark
+    jobs, zero data I/O. The planning half of what ClickHouse's
+    background merge scheduler decides implicitly (the reference never
+    schedules merges; the MergeTree engine does,
+    /root/reference/etl/clickhouse_schema/init.sql:14) and what
+    Iceberg leaves to table-service cron. Returns::
+
+        {"compact_buckets": [...],        # over-fragmented / delta-carrying
+         "expire_snapshots": n,           # manifests beyond the travel window
+         "zone_overlap": {col: frac},     # mean per-bucket overlap fraction
+         "zorder": {"recommend": bool, "columns": [...]},
+         "file_count": n, "bucket_count": n, "delta_buckets": [...]}
+
+    Policy mirrors the executors: ``compact_buckets`` is exactly what
+    ``compact(fold_all_deltas=False, max_files_per_bucket=...)`` would
+    rewrite; ``zorder.recommend`` fires only when the caller opted
+    into clustering (``stats_columns`` property set) AND enough files
+    exist for skipping to matter AND the recorded zone maps have
+    degraded past ``zorder_overlap_threshold`` (fresh ingest writes
+    key-sorted files with wide zone ranges — overlap creeps up between
+    OPTIMIZE passes; see :func:`zorder_compact`)."""
+    m = table.manifest
+    files: dict[str, list[str]] = m.get("files", {})
+    deltas = sorted(int(b) for b in m.get("delta_buckets", []))
+    compact_buckets = sorted(
+        int(b) for b, fl in files.items() if len(fl) > max_files_per_bucket
+    )
+    n_files = sum(len(fl) for fl in files.values())
+    expire_n = max(0, len(table.history()) - keep_last)
+
+    col_stats: dict[str, dict[str, list]] = m.get("col_stats", {})
+    stats_cols = list(table.properties.get("stats_columns", []))
+    zone_overlap: dict[str, float] = {}
+    for col in stats_cols:
+        per_bucket: list[float] = []
+        for fl in files.values():
+            ranges = [
+                tuple(col_stats[rel][col])
+                for rel in fl
+                if rel in col_stats and col in col_stats[rel]
+                and col_stats[rel][col][0] is not None
+            ]
+            if len(ranges) >= 2:
+                per_bucket.append(_overlap_fraction(ranges))
+        if per_bucket:
+            zone_overlap[col] = round(sum(per_bucket) / len(per_bucket), 4)
+    degraded = [c for c, f in zone_overlap.items() if f > zorder_overlap_threshold]
+    recommend_z = bool(degraded) and n_files >= min_files_for_zorder
+    return {
+        "compact_buckets": compact_buckets,
+        "expire_snapshots": expire_n,
+        "zone_overlap": zone_overlap,
+        "zorder": {"recommend": recommend_z, "columns": stats_cols if recommend_z else []},
+        "file_count": n_files,
+        "bucket_count": len(files),
+        "delta_buckets": deltas,
+    }
+
+
+def run_maintenance(
+    table: LakeTable,
+    plan: dict | None = None,
+    max_files_per_bucket: int = 4,
+    keep_last: int = 3,
+    zorder_files_per_bucket: int = 4,
+) -> dict:
+    """Execute a :func:`plan_maintenance` plan (computing one if not
+    given): z-order rewrite when recommended (it also folds every
+    bucket, superseding binpack compaction), else binpack-compact the
+    fragmented buckets, then expire snapshots beyond the window.
+    Returns the plan augmented with what actually ran."""
+    if plan is None:
+        plan = plan_maintenance(
+            table, max_files_per_bucket=max_files_per_bucket, keep_last=keep_last
+        )
+    did: dict = {"plan": plan}
+    if plan["zorder"]["recommend"]:
+        did["zordered_columns"] = zorder_compact(
+            table, plan["zorder"]["columns"],
+            files_per_bucket=zorder_files_per_bucket,
+        )
+    elif plan["compact_buckets"]:
+        did["compacted_buckets"] = compact(
+            table, max_files_per_bucket=max_files_per_bucket,
+            fold_all_deltas=False,
+        )
+    if plan["expire_snapshots"] > 0:
+        did["expired"] = expire_snapshots(table, keep_last=keep_last)
+    return did

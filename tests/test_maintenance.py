@@ -129,3 +129,102 @@ def test_compact_selective_delta_policy(spark, tmp_path):
     compact(table, max_files_per_bucket=1, fold_all_deltas=True)
     assert not table.manifest.get("delta_buckets")
     assert sorted(tuple(r) for r in table.read().collect()) == before
+
+
+def test_plan_maintenance_manifest_only(spark, tmp_table_path):
+    """The planner reads only the manifest: fragmented buckets are
+    exactly what compact(fold_all_deltas=False) would rewrite, expiry
+    counts the manifests beyond the window, and executing the plan
+    clears it without changing table state."""
+    from spark_cdc.lake.maintenance import plan_maintenance, run_maintenance
+
+    table = _fragment(spark, tmp_table_path)
+    before = sorted(tuple(r) for r in table.read().collect())
+    plan = plan_maintenance(table, max_files_per_bucket=1, keep_last=2)
+    assert plan["compact_buckets"], "fragmented buckets expected"
+    assert plan["expire_snapshots"] > 0
+    assert plan["file_count"] > plan["bucket_count"]
+    did = run_maintenance(table, plan, max_files_per_bucket=1, keep_last=2)
+    assert did.get("compacted_buckets") == plan["compact_buckets"]
+    assert did["expired"]["removed_manifests"] > 0
+    assert sorted(tuple(r) for r in table.read().collect()) == before
+    # plan is now clean
+    again = plan_maintenance(table, max_files_per_bucket=1, keep_last=2)
+    assert again["compact_buckets"] == [] and again["expire_snapshots"] == 0
+
+
+def test_plan_maintenance_zorder_degradation(spark, tmp_path):
+    """Zone-map degradation drives the recluster advice: a z-ordered
+    table starts with low overlap (no recommendation); unclustered
+    ingest on top pushes the recorded per-file ranges to near-total
+    overlap and trips the recommendation; run_maintenance's z-order
+    rewrite restores low overlap."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from spark_cdc.lake.maintenance import (
+        plan_maintenance,
+        run_maintenance,
+        zorder_compact,
+    )
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("v", T.LongType(), True),
+    ])
+    epoch = datetime.datetime(2024, 1, 1)
+    tbl = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                           key_columns=["k"], num_buckets=2)
+
+    def mk(n, start):
+        return spark.range(start, start + n).select(
+            F.col("id").alias("k"),
+            (F.lit(epoch) + F.make_interval(
+                mins=F.pmod(F.col("id") * 7919, F.lit(64 * 1440)))).alias("ts"),
+            (F.col("id") % 100).alias("v"),
+        )
+
+    tbl.append(mk(8000, 0))
+    zorder_compact(tbl, ["ts"], files_per_bucket=8)
+    clean = plan_maintenance(tbl)
+    assert clean["zone_overlap"]["ts"] < 0.5
+    assert not clean["zorder"]["recommend"]
+    # unclustered ingest: every append spans the full ts range, so the
+    # recorded zone maps of the new files all overlap
+    for i in range(4):
+        tbl.append(mk(2000, 100_000 + i * 2000))
+    degraded = plan_maintenance(tbl)
+    assert degraded["zone_overlap"]["ts"] > clean["zone_overlap"]["ts"]
+    assert degraded["zorder"]["recommend"]
+    assert degraded["zorder"]["columns"] == ["ts"]
+    before = sorted((r["k"], r["ts"], r["v"]) for r in tbl.read().collect())
+    did = run_maintenance(tbl, degraded)
+    assert did.get("zordered_columns") == ["ts"]
+    assert sorted((r["k"], r["ts"], r["v"]) for r in tbl.read().collect()) == before
+    healed = plan_maintenance(tbl)
+    assert not healed["zorder"]["recommend"]
+    assert healed["zone_overlap"]["ts"] <= clean["zone_overlap"]["ts"] + 0.05
+
+
+def test_maintain_cli(spark, tmp_table_path, capsys):
+    """`python -m spark_cdc maintain` prints the JSON plan; --apply
+    executes it and reports what ran."""
+    import json as _json
+
+    from spark_cdc.__main__ import main
+
+    table = _fragment(spark, tmp_table_path)
+    state = sorted(tuple(r) for r in table.read().collect())
+    assert main(["maintain", "--table", tmp_table_path,
+                 "--max-files-per-bucket", "1"]) == 0
+    plan = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert plan["compact_buckets"]
+    assert main(["maintain", "--table", tmp_table_path,
+                 "--max-files-per-bucket", "1", "--apply"]) == 0
+    did = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert did["plan"]["compact_buckets"] == plan["compact_buckets"]
+    assert did["compacted_buckets"] == plan["compact_buckets"]
+    t2 = LakeTable.load(spark, tmp_table_path)
+    assert sorted(tuple(r) for r in t2.read().collect()) == state
