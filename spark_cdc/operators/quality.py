@@ -161,3 +161,129 @@ def filter_quality(
         .where(F.col("keep"))
         .select(*df.columns)
     )
+
+
+def dedup_lines_expr(c: Column, sep: str = "\n") -> Column:
+    """Order-preserving removal of repeated lines inside one document
+    (boilerplate nav/footer lines repeated through a crawl page — the
+    within-document half of C4's line dedup, run before any
+    cross-document pass). First occurrence wins; later duplicates
+    drop; original order is otherwise kept.
+
+    Pure JVM: split → two-arg filter lambda (keep element i iff the
+    line's FIRST occurrence is position i) → rejoin. O(lines²) per
+    document worst case, on arrays of at most a few hundred lines."""
+    import re as _re
+
+    pat = _re.escape(sep)
+    parts = F.split(c, pat, -1)
+    kept = F.filter(parts, lambda x, i: F.array_position(parts, x) == i + 1)
+    return F.array_join(kept, sep)
+
+
+def dedup_lines(df: DataFrame, text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """Pipeline form of :func:`dedup_lines_expr` (text replaced in place)."""
+    return df.withColumn(text_col, dedup_lines_expr(F.col(text_col), sep))
+
+
+# ----------------------------------------------------------- char-n-gram LM
+
+def char_ngrams_expr(c: Column, n: int = 3) -> Column:
+    """All character n-grams of the normalized text (lowercased,
+    whitespace collapsed) as array<string>; shorter-than-n docs yield
+    an empty array. JVM-only: substring over an offset sequence."""
+    t = F.lower(F.trim(F.regexp_replace(F.coalesce(c, F.lit("")), r"\s+", " ")))
+    return F.when(F.length(t) < n, F.expr("CAST(array() AS ARRAY<STRING>)")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - F.lit(n - 1)),
+            lambda i: F.substring(t, i, F.lit(n)),
+        )
+    )
+
+
+class CharLM:
+    """KenLM-style character n-gram language model for corpus quality
+    scoring — the model-based signal real pipelines run NEXT TO the
+    heuristic gates (CCNet/Gopher both filter on LM perplexity; a full
+    KenLM is out of scope, a char-(n)-gram model with add-one smoothing
+    is the same shape and fully deterministic).
+
+    ``model`` is a small DataFrame ``(gram, ctx, cnt, ctx_cnt)`` of
+    training counts (gram = n chars, ctx = its first n−1 chars);
+    ``vocab`` is the training alphabet size (distinct final chars),
+    the add-one denominator. Scoring is per-document mean log
+    P(char | ctx) with P = (cnt+1)/(ctx_cnt+V): higher = more like the
+    training corpus; junk/garbled text scores sharply lower.
+
+    Scale shape: training is two corpus-scan aggregates over exploded
+    grams (map-side combinable); the model is alphabet-bounded (tiny),
+    so scoring is two BROADCAST joins (gram, then ctx for unseen
+    grams) plus one groupBy(doc) — the corpus never sort-merge joins.
+    """
+
+    def __init__(self, model: DataFrame, n: int, vocab: int):
+        self.model = model
+        self.n = n
+        self.vocab = vocab
+
+    @staticmethod
+    def train(df: DataFrame, text_col: str = "text", n: int = 3) -> "CharLM":
+        grams = df.select(
+            F.explode(char_ngrams_expr(F.col(text_col), n)).alias("gram")
+        )
+        counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+        counts = counts.withColumn("ctx", F.substring("gram", 1, n - 1))
+        ctx_counts = counts.groupBy("ctx").agg(F.sum("cnt").alias("ctx_cnt"))
+        model = counts.join(ctx_counts, "ctx").select("gram", "ctx", "cnt", "ctx_cnt")
+        vocab = counts.select(
+            F.countDistinct(F.substring("gram", n, 1)).alias("v")
+        ).collect()[0]["v"]
+        return CharLM(model.cache(), n, int(vocab))
+
+    def score(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str | None = None,
+        score_col: str = "lm_score",
+        round_to: int = 6,
+    ) -> DataFrame:
+        """Append mean log P(char | ctx); empty/too-short docs get
+        NULL. Two broadcast joins + one per-doc aggregate, joined back
+        skinny on ``id_col``.
+
+        Pass ``id_col`` (a unique key) whenever one exists:
+        the fallback tags rows with ``monotonically_increasing_id``,
+        which is only safe because the tagged frame is the single
+        common subtree of both join branches — but it blocks scan
+        pushdown and is re-evaluated on task retry, so a real key is
+        always the better plan."""
+        v = F.lit(float(self.vocab))
+        cols = df.columns
+        if id_col is not None:
+            with_id = df.withColumn("_lm_rid", F.col(id_col))
+        else:
+            with_id = df.withColumn("_lm_rid", F.monotonically_increasing_id())
+        grams = with_id.select(
+            "_lm_rid",
+            F.posexplode(char_ngrams_expr(F.col(text_col), self.n)).alias("_pos", "gram"),
+        ).withColumn("ctx", F.substring("gram", 1, self.n - 1))
+        gmod = self.model.select("gram", "cnt")
+        cmod = self.model.select("ctx", "ctx_cnt").dropDuplicates(["ctx"])
+        scored = (
+            grams.join(F.broadcast(gmod), "gram", "left")
+            .join(F.broadcast(cmod), "ctx", "left")
+            .withColumn(
+                "_lp",
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("ctx_cnt"), F.lit(0)) + v)
+                ),
+            )
+            .groupBy("_lm_rid")
+            .agg(F.round(F.avg("_lp"), round_to).alias(score_col))
+        )
+        return (
+            with_id.join(scored, "_lm_rid", "left")
+            .select(*cols, score_col)
+        )

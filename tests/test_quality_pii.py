@@ -292,3 +292,106 @@ def test_quality_store_maintained_via_feed(spark, tmp_path):
     assert got == want
     assert 7 not in got
     assert got[3][5] is False  # the spam rewrite fails the gates
+
+
+# --------------------------------------------- line dedup + char-LM
+
+def test_dedup_lines_order_preserving(spark):
+    from spark_cdc.operators.quality import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb"),
+            (2, "nav\nbody one\nnav\nbody two\nnav\nfooter\nfooter"),
+            (3, "only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in dedup_lines(df).collect()}
+    assert got[1] == "a\nb\nc"
+    assert got[2] == "nav\nbody one\nbody two\nfooter"
+    assert got[3] == "only"
+    # idempotent
+    twice = {r["doc_id"]: r["text"] for r in dedup_lines(dedup_lines(df)).collect()}
+    assert twice == got
+    # custom separator
+    df2 = spark.createDataFrame([(1, "x | y | x | z")], "doc_id long, text string")
+    from spark_cdc.operators.quality import dedup_lines_expr
+    assert df2.select(
+        dedup_lines_expr(F.col("text"), " | ").alias("t")
+    ).collect()[0]["t"] == "x | y | z"
+
+
+def _ref_char_lm(train_texts, score_texts, n=3):
+    """Pure-python reference of CharLM (add-one smoothed char n-grams)."""
+    import math
+    import re
+    from collections import Counter
+
+    def grams(t):
+        t = re.sub(r"\s+", " ", (t or "")).strip().lower()
+        return [t[i:i + n] for i in range(len(t) - n + 1)] if len(t) >= n else []
+
+    cnt = Counter(g for t in train_texts for g in grams(t))
+    ctx = Counter()
+    for g, c in cnt.items():
+        ctx[g[: n - 1]] += c
+    v = len({g[n - 1] for g in cnt})
+    out = []
+    for t in score_texts:
+        gs = grams(t)
+        if not gs:
+            out.append(None)
+            continue
+        out.append(
+            sum(math.log((cnt.get(g, 0) + 1) / (ctx.get(g[: n - 1], 0) + v))
+                for g in gs) / len(gs)
+        )
+    return out
+
+
+def test_char_lm_matches_reference_and_ranks_junk(spark):
+    from spark_cdc.operators.quality import CharLM
+
+    train = [
+        "the quick brown fox jumps over the lazy dog",
+        "a stitch in time saves nine and the early bird catches the worm",
+        "to be or not to be that is the question",
+    ]
+    score = [
+        "the quick bird saves the dog",          # natural, in-distribution
+        "qzx vwk jjq zzz xqv kkjj wzx",           # junk
+        "the the the the",                        # repetitive but seen
+        "",                                       # empty -> NULL
+        "ab",                                     # shorter than n -> NULL
+    ]
+    lm = CharLM.train(
+        spark.createDataFrame([(t,) for t in train], "text string"), n=3
+    )
+    got_rows = lm.score(
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(score)], "doc_id long, text string"
+        ),
+        id_col="doc_id",
+    ).collect()
+    got = {r["doc_id"]: r["lm_score"] for r in got_rows}
+    want = _ref_char_lm(train, score)
+    for i, w in enumerate(want):
+        if w is None:
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(w, abs=2e-6), i
+    assert got[0] > got[1], "natural text must outscore junk"
+
+
+def test_char_lm_plan_broadcasts_model(spark):
+    from spark_cdc.operators.quality import CharLM
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lm = CharLM.train(docs, n=3)
+    plan = (
+        lm.score(docs, id_col="doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
