@@ -274,3 +274,46 @@ def test_stream_tails_while_producer_appends(spark, tmp_path):
     got = table.refresh().read()
     want = replay_changes_df(log, KEY_COLUMNS).select(*got.columns)
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_ingest_pii_scrub_equals_batch(spark, tmp_path):
+    """PII scrubbing at INGEST: the runner's normalize hook redacts
+    text inside every micro-batch before the merge, so the lake table
+    never stores raw identifiers — and the streamed result equals the
+    batch replay with the same normalize map."""
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.functions.pii import redact_pii
+
+    log = generate_change_log(spark, n_events=2000, n_convs=40, seed=31,
+                              pct_delete=0.0)
+    # plant PII derived from the key so every doc carries some
+    log = log.withColumn(
+        "text",
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.lit(" contact u"), F.col("turn_idx").cast("string"),
+                 F.lit("@mail.example.com or 10.0.0."),
+                 (F.col("turn_idx") % 256).cast("string")),
+    )
+    src = str(tmp_path / "changelog")
+    log.coalesce(2).write.mode("append").parquet(src)
+    norm = {"text": redact_pii(F.col("text"))}
+
+    streamed = LakeTable.create(
+        spark, str(tmp_path / "stream_t"), PAYLOAD_SCHEMA,
+        key_columns=KEY_COLUMNS, num_buckets=4,
+    )
+    StreamRunner(spark, streamed, src, str(tmp_path / "ckpt"),
+                 normalize=norm).run_available()
+
+    batch = LakeTable.create(
+        spark, str(tmp_path / "batch_t"), PAYLOAD_SCHEMA,
+        key_columns=KEY_COLUMNS, num_buckets=4,
+    )
+    apply_batch(batch, spark.read.parquet(src), batch_id=0, normalize=norm,
+                collect_lineage=False)
+
+    assert_df_equal(streamed.read(), batch.read(), KEY_COLUMNS)
+    got = streamed.read()
+    assert got.where(F.col("text").contains("@mail.example.com")).count() == 0
+    assert got.where(F.col("text").contains("<EMAIL>")).count() == got.count()
+    assert got.where(F.col("text").contains("<IP>")).count() == got.count()
