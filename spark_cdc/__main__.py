@@ -153,6 +153,10 @@ def main(argv: list[str] | None = None) -> int:
         "(OPTIMIZE ... ZORDER BY)",
     )
     p_comp.add_argument("--zorder-files-per-bucket", type=int, default=4)
+    p_comp.add_argument("--zorder-normalization", choices=["minmax", "quantile"],
+                        default="minmax",
+                        help="quantile = equal-frequency cells (tight zones "
+                        "under skew, one approxQuantile pass)")
 
     p_maint = sub.add_parser(
         "maintain",
@@ -222,7 +226,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.zorder:
             cols = [c.strip() for c in args.zorder.split(",") if c.strip()]
             out["zorder_stats_columns"] = zorder_compact(
-                table, cols, files_per_bucket=args.zorder_files_per_bucket
+                table, cols, files_per_bucket=args.zorder_files_per_bucket,
+                normalization=args.zorder_normalization,
             )
         else:
             out["compacted_buckets"] = compact(table)

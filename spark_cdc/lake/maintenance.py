@@ -85,6 +85,9 @@ def zorder_compact(
     cols: list[str],
     bits: int = 12,
     files_per_bucket: int = 4,
+    normalization: str = "minmax",
+    quantile_bits: int = 8,
+    quantile_eps: float = 0.001,
 ) -> list[str]:
     """Rewrite the whole table clustered by the Z-order (Morton)
     interleave of ``cols``, and record per-file [min, max] zone maps
@@ -112,17 +115,23 @@ def zorder_compact(
     (strings cluster by exact 5-byte-prefix lexicographic rank).
     Returns the written column list (== stats_columns afterwards).
 
-    Ranks are linearly min/max-normalized — scale-cheap (one bounded
-    aggregate, no sampling pass), but a heavily skewed value
-    distribution bunches into few cells and widens per-file ranges;
-    a low-cardinality clumped string (language tags) belongs in a
-    bucket/partition spec, not a z-order — z-order earns its keep on
-    high-cardinality range-probed columns (timestamps, external ids).
-    Equal-frequency (quantile) normalization is the known upgrade if
-    a skewed numeric column ever needs tight cells. Hash bucketing
-    by the merge key is preserved — point lookups and MERGE routing
-    are untouched; this only reorders rows WITHIN buckets across
-    files.
+    Ranks are linearly min/max-normalized by default — scale-cheap
+    (one bounded aggregate, no sampling pass), but a heavily skewed
+    value distribution bunches into few cells and widens per-file
+    ranges; a low-cardinality clumped string (language tags) belongs
+    in a bucket/partition spec, not a z-order — z-order earns its keep
+    on high-cardinality range-probed columns (timestamps, external
+    ids). ``normalization="quantile"`` switches numeric/date/timestamp
+    dims to EQUAL-FREQUENCY ranks: 2^``quantile_bits``−1 approximate
+    quantile boundaries (one approxQuantile pass, ``quantile_eps``
+    relative error) define the cells, and a row's rank is how many
+    boundaries it clears (a ≤255-comparison JVM fold per row) scaled
+    up to the ``bits`` range — every cell then holds ~equal row counts
+    no matter the skew, so per-file zones stay tight where the data is
+    dense. String dims keep their (already data-adaptive) mixed-radix
+    ranks in either mode. Hash bucketing by the merge key is
+    preserved — point lookups and MERGE routing are untouched; this
+    only reorders rows WITHIN buckets across files.
 
     Interaction with ongoing ingest: later merges/appends still record
     zone maps (stats_columns persists), but write key-sorted files, so
@@ -205,25 +214,52 @@ def zorder_compact(
     prior = set(table.properties.get("stats_columns", []))
     table.set_properties({"stats_columns": sorted(prior | set(cols))})
 
+    if normalization not in ("minmax", "quantile"):
+        raise ValueError(f"normalization must be minmax|quantile, got {normalization!r}")
     df = table.read(include_hidden=True, resolve=True)
     bounds = df.agg(
         *[F.min(as_num(c)).alias(f"lo_{i}") for i, c in enumerate(cols)],
         *[F.max(as_num(c)).alias(f"hi_{i}") for i, c in enumerate(cols)],
     ).first()
+    quantile_cols = (
+        [c for c in cols if c not in string_cols] if normalization == "quantile" else []
+    )
+    boundaries: dict[str, list[float]] = {}
+    if quantile_cols:
+        q = 1 << quantile_bits
+        probs = [j / q for j in range(1, q)]
+        nums = df.select(
+            *[as_num(c).alias(f"_q_{i}") for i, c in enumerate(quantile_cols)]
+        )
+        got = nums.approxQuantile(
+            [f"_q_{i}" for i in range(len(quantile_cols))], probs, quantile_eps
+        )
+        for c, bs in zip(quantile_cols, got):
+            boundaries[c] = [float(b) for b in bs]
     n, scale = len(cols), (1 << bits) - 1
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         lo = float(bounds[f"lo_{i}"] or 0.0)
         hi = float(bounds[f"hi_{i}"] or 0.0)
-        width = (hi - lo) or 1.0
-        rank = F.least(
-            F.lit(scale),
-            F.greatest(
-                F.lit(0),
-                F.floor((F.coalesce(as_num(c), F.lit(lo)) - F.lit(lo))
-                        / F.lit(width) * F.lit(scale)).cast("long"),
-            ),
-        )
+        if c in boundaries:
+            # equal-frequency rank: boundaries cleared, rescaled to the
+            # shared bit range so the interleave loop stays uniform
+            bs = boundaries[c]
+            x = F.coalesce(as_num(c), F.lit(lo))
+            cleared = F.size(F.filter(F.lit(bs), lambda bnd: bnd <= x))
+            rank = F.floor(
+                cleared.cast("double") * F.lit(float(scale)) / F.lit(float(len(bs)))
+            ).cast("long")
+        else:
+            width = (hi - lo) or 1.0
+            rank = F.least(
+                F.lit(scale),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.coalesce(as_num(c), F.lit(lo)) - F.lit(lo))
+                            / F.lit(width) * F.lit(scale)).cast("long"),
+                ),
+            )
         for b in range(bits):
             z = z + F.shiftleft(
                 F.shiftright(rank, b).bitwiseAND(F.lit(1)), b * n + i

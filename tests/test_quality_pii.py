@@ -395,3 +395,97 @@ def test_char_lm_plan_broadcasts_model(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# -------------------------------------- randomized reference equality
+
+def _rand_corpus(n=200, seed=17):
+    """Seeded adversarial strings: part natural text, part
+    digit/dot/dash soup that brushes against every PII pattern, part
+    whitespace pathology."""
+    import random
+
+    rng = random.Random(seed)
+    words = ["the", "fox", "data", "10", "3.14", "a-b", "x", "..", "--", ""]
+    out = []
+    for i in range(n):
+        k = rng.randint(0, 30)
+        parts = [rng.choice(words) for _ in range(k)]
+        if rng.random() < 0.4:
+            parts.append(f"u{rng.randint(0,999)}@ex{rng.randint(0,9)}.com")
+        if rng.random() < 0.4:
+            parts.append(".".join(str(rng.randint(0, 300)) for _ in range(4)))
+        if rng.random() < 0.3:
+            parts.append(f"{rng.randint(0,999):03d}-{rng.randint(0,99):02d}-{rng.randint(0,9999):04d}")
+        if rng.random() < 0.3:
+            parts.append(f"{rng.randint(0,999):03d}.{rng.randint(0,999):03d}.{rng.randint(0,9999):04d}")
+        if rng.random() < 0.2:
+            parts.append(" ".join(f"{rng.randint(0,9999):04d}" for _ in range(4)))
+        sep = rng.choice([" ", "  ", " \t ", "\n"])
+        out.append((i, sep.join(parts)))
+    return out
+
+
+def test_pii_redaction_matches_python_re(spark):
+    """The shipped patterns behave identically under Java regex and
+    Python re (both backtracking engines over the shared subset) — a
+    cross-engine guard beyond the DuckDB/RE2 oracle."""
+    import re
+
+    rows = _rand_corpus()
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["text"] for r in
+           df.select("id", redact_pii(F.col("text")).alias("text")).collect()}
+    for i, text in rows:
+        want = text
+        for _, pat, rep in PII_PATTERNS:
+            want = re.sub(pat, rep, want)
+        assert got[i] == want, (i, text, got[i], want)
+
+
+def test_quality_metrics_match_python_reference(spark):
+    """All five gate metrics against an independent python
+    implementation over the adversarial corpus (whitespace pathology,
+    empty docs, single words)."""
+    from collections import Counter
+
+    rows = _rand_corpus(seed=23)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in quality_gates(df).collect()}
+    for i, text in rows:
+        ws = [w for w in text.split() if w]
+        n = len(ws)
+        mwl = sum(len(w) for w in ws) / n if n else 0.0
+        dwf = 1 - len(set(ws)) / n if n else 0.0
+        bg = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        tbf = max(Counter(bg).values()) / len(bg) if bg else 0.0
+        from spark_cdc.operators.quality import STOPWORDS
+        swf = sum(w in STOPWORDS for w in ws) / n if n else 0.0
+        r = got[i]
+        assert r["n_words"] == n, (i, text)
+        assert r["mean_word_len"] == pytest.approx(mwl, abs=1e-6), i
+        assert r["dup_word_frac"] == pytest.approx(dwf, abs=1e-6), i
+        assert r["top_bigram_frac"] == pytest.approx(tbf, abs=1e-6), i
+        assert r["stopword_frac"] == pytest.approx(swf, abs=1e-6), i
+
+
+def test_dedup_lines_matches_python_reference(spark):
+    from spark_cdc.operators.quality import dedup_lines
+
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(120):
+        lines = [rng.choice(["nav", "foot", "", "body one", "body 2", "x y",
+                             " lead", "trail "]) for _ in range(rng.randint(1, 12))]
+        rows.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in dedup_lines(df).collect()}
+    for i, text in rows:
+        seen, keep = set(), []
+        for ln in text.split("\n"):
+            if ln not in seen:
+                seen.add(ln)
+                keep.append(ln)
+        assert got[i] == "\n".join(keep), (i, text)

@@ -170,3 +170,44 @@ def test_zorder_rejects_bad_columns(spark, tmp_path):
         zorder_compact(tbl2, ["a"])
     with pytest.raises(ValueError, match="unknown column"):
         zorder_compact(tbl, ["nope"])
+
+
+def test_zorder_quantile_normalization_under_skew(spark, tmp_path):
+    """Skewed value distribution: linear min/max normalization dumps
+    the dense 90% of rows into one z-cell (their file zones all cover
+    the dense range, so a dense-region probe reads almost everything);
+    equal-frequency quantile normalization spreads them across cells
+    and the same probe prunes most files. Results stay exactly equal
+    to a full-scan filter in both modes."""
+    n = 40_000
+
+    def mk():
+        # 90% of rows have v in [0, 100); 10% long-tail to 1e9
+        return spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.lit(EPOCH) + F.make_interval(
+                mins=F.pmod(F.col("id") * 7919, F.lit(64 * 1440)))).alias("ts"),
+            F.when(F.pmod("id", F.lit(10)) < 9, F.pmod(F.col("id") * 31, F.lit(100)))
+            .otherwise(F.pmod(F.col("id") * 2654435761, F.lit(1_000_000_000)))
+            .cast("long").alias("v"),
+        )
+
+    probe = {"v": (10, 20)}
+
+    kept = {}
+    rows = {}
+    for mode in ("minmax", "quantile"):
+        tbl = LakeTable.create(spark, str(tmp_path / mode), SCHEMA,
+                               key_columns=["k"], num_buckets=4)
+        tbl.append(mk())
+        zorder_compact(tbl, ["ts", "v"], files_per_bucket=16, normalization=mode)
+        total = len(tbl.selected_files())
+        kept[mode] = len(tbl.selected_files(zone_between=probe)) / total
+        rows[mode] = _rows(tbl.read(zone_between=probe).where(
+            F.col("v").between(10, 20)))
+    assert rows["minmax"] == rows["quantile"]
+    assert len(rows["minmax"]) > 1000
+    # minmax reads nearly everything (dense cell collapse); quantile
+    # prunes hard — at least 2x fewer files, typically much more
+    assert kept["quantile"] <= kept["minmax"] / 2, kept
+    assert kept["quantile"] <= 0.5, kept
