@@ -300,6 +300,7 @@ def mixture_sample(
     salt: str = "mix:",
     precision: int = HEX_PRECISION,
     sampled_col: str = "sampled",
+    rates: dict[str, float] | None = None,
 ) -> DataFrame:
     """Deterministic temperature-based domain mixture sampling.
 
@@ -322,41 +323,56 @@ def mixture_sample(
     ``salt`` decorrelates the sampling hash from :func:`hash_split`'s
     split hash — a document's split assignment and its mixture draw are
     independent.
+
+    ``rates`` (optional): FROZEN per-domain keep rates — e.g. the
+    :func:`mixture_rates` of a pinned reference corpus. With live
+    rates (default), every re-crawl shifts domain counts and so
+    reshuffles which documents are kept; with frozen rates a
+    document's draw is a pure function of its key forever (the
+    sampling twin of the frozen-quantizer discipline in
+    index_maint) — retrain/refresh rates deliberately, not as a side
+    effect of ingest. Unknown domains get rate 0 (kept out, loudly
+    countable), so a new domain is an explicit rates-refresh decision.
     """
     key = F.col(key_col).cast("string")
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    totals = counts.agg(
-        F.sum("_n").alias("_n_total"),
-        F.sum(F.pow("_n", F.lit(alpha))).alias("_wsum"),
-    )
-    rates = (
-        counts.withColumn("_k", F.lit(1))
-        .join(F.broadcast(totals.withColumn("_k", F.lit(1))), "_k")
-        .withColumn(
-            "_rate",
-            F.least(
-                F.lit(1.0),
-                F.lit(target_fraction)
-                * F.col("_n_total")
-                * (F.pow("_n", F.lit(alpha)) / F.col("_wsum"))
-                / F.col("_n"),
-            ),
+    if rates is not None:
+        rate_rows = [(d, float(r)) for d, r in rates.items()]
+        rates_df = df.sparkSession.createDataFrame(
+            rate_rows, f"`{domain_col}` string, _rate double"
         )
-        .withColumn(
-            "_bound",
-            F.format_string(
-                f"%0{precision}x",
-                F.floor(F.round("_rate", 9) * F.lit(16**precision)).cast("int"),
-            ),
+    else:
+        counts = df.groupBy(domain_col).agg(
+            F.count(F.lit(1)).cast("double").alias("_n")
         )
-        .select(domain_col, "_rate", "_bound")
-    )
+        totals = counts.agg(
+            F.sum("_n").alias("_n_total"),
+            F.sum(F.pow("_n", F.lit(alpha))).alias("_wsum"),
+        )
+        rates_df = (
+            counts.withColumn("_k", F.lit(1))
+            .join(F.broadcast(totals.withColumn("_k", F.lit(1))), "_k")
+            .withColumn(
+                "_rate",
+                F.least(
+                    F.lit(1.0),
+                    F.lit(target_fraction)
+                    * F.col("_n_total")
+                    * (F.pow("_n", F.lit(alpha)) / F.col("_wsum"))
+                    / F.col("_n"),
+                ),
+            )
+        )
+    rates_df = rates_df.withColumn(
+        "_bound",
+        F.format_string(
+            f"%0{precision}x",
+            F.floor(F.round("_rate", 9) * F.lit(16**precision)).cast("int"),
+        ),
+    ).select(domain_col, "_rate", "_bound")
     h = F.substring(F.md5(F.concat(F.lit(salt), key)), 1, precision)
-    return (
-        df.join(F.broadcast(rates), domain_col)
-        .withColumn(
-            sampled_col,
-            ((F.col("_rate") >= 1.0) | (h < F.col("_bound"))).cast("int"),
-        )
-        .drop("_rate", "_bound")
+    join_how = "left" if rates is not None else "inner"
+    out = df.join(F.broadcast(rates_df), domain_col, join_how)
+    keep = (F.coalesce(F.col("_rate"), F.lit(0.0)) >= 1.0) | (
+        F.col("_bound").isNotNull() & (h < F.col("_bound"))
     )
+    return out.withColumn(sampled_col, keep.cast("int")).drop("_rate", "_bound")

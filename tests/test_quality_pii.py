@@ -489,3 +489,40 @@ def test_dedup_lines_matches_python_reference(spark):
                 seen.add(ln)
                 keep.append(ln)
         assert got[i] == "\n".join(keep), (i, text)
+
+
+def test_mixture_sample_frozen_rates(spark):
+    """Frozen rates: assignments become a pure function of the key —
+    a re-crawl that doubles one domain does NOT reshuffle previously
+    kept documents (live rates would); unknown domains are kept out
+    with rate 0."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    counts = {r["lang"]: r["cnt"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    frozen = mixture_rates(counts, alpha=0.5, target_fraction=0.5)
+    base = {r["doc_id"]: r["sampled"] for r in
+            mixture_sample(docs, "lang", "doc_id", rates=frozen).collect()}
+    # equals the live computation on the SAME corpus
+    live = {r["doc_id"]: r["sampled"] for r in
+            mixture_sample(docs, "lang", "doc_id", alpha=0.5,
+                           target_fraction=0.5).collect()}
+    assert base == live
+    # grow one domain 2x: frozen keeps every old assignment
+    grown = docs.unionByName(
+        docs.where(F.col("lang") == "en")
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    after = {r["doc_id"]: r["sampled"] for r in
+             mixture_sample(grown, "lang", "doc_id", rates=frozen).collect()}
+    assert all(after[k] == v for k, v in base.items())
+    # live rates on the grown corpus DO shift en assignments (sanity
+    # that the frozen path is the thing preventing it)
+    live_after = {r["doc_id"]: r["sampled"] for r in
+                  mixture_sample(grown, "lang", "doc_id", alpha=0.5,
+                                 target_fraction=0.5).collect()}
+    assert any(live_after[k] != v for k, v in base.items())
+    # unknown domain -> rate 0, loudly excluded
+    alien = spark.createDataFrame([(9_999_999, "xx")], "doc_id long, lang string")
+    got = mixture_sample(docs.select("doc_id", "lang").unionByName(alien),
+                         "lang", "doc_id", rates=frozen)
+    assert got.where(F.col("lang") == "xx").collect()[0]["sampled"] == 0
