@@ -164,9 +164,58 @@ class DistinctRollup:
             .collect()
         )
 
+    def _merge_view(
+        self, touched: list[int], groups: DataFrame, batch_id: int | None
+    ) -> int:
+        """Group-pruned level-2 refresh: recompute ONLY the batch's
+        distinct groups from the (already-merged) support rows and
+        MERGE them into the view — upsert for groups that still have
+        live values, delete for groups whose support vanished. The
+        full-bucket overwrite this replaces rewrote every view row
+        co-bucketed with a change, so a diverse batch re-aggregated
+        and re-wrote the WHOLE view each poll; now the aggregate's
+        shuffle and the write are bounded by the batch's group set
+        (bucket-file I/O stays the floor — level 1's CoW merge reads
+        those same files anyway). Exactly-once rides the merge's own
+        per-source batch-id guard (source_id=``GUARD``)."""
+        from spark_cdc.cdc.apply import apply_batch as _apply
+
+        agg = (
+            self.support.read(buckets=touched)
+            .join(groups, self.group_cols, "leftsemi")
+            .groupBy(*self.group_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.min(self.value_col).alias("min_v"),
+                F.max(self.value_col).alias("max_v"),
+            )
+        )
+        changes = groups.join(agg, self.group_cols, "left").select(
+            F.lit(0).cast("long").alias("lsn"),
+            F.lit(1).cast("long").alias("op_seq"),
+            F.when(F.col("n_distinct").isNull(), F.lit("d"))
+            .otherwise(F.lit("c"))
+            .alias("op"),
+            F.timestamp_seconds(F.lit(0)).alias("ts"),
+            *self.group_cols,
+            "n_distinct",
+            "min_v",
+            "max_v",
+        )
+        res = _apply(
+            self.view,
+            changes,
+            batch_id=batch_id,
+            source_id=self.GUARD,
+            collect_lineage=False,
+            collect_stats=False,
+            evolve_schema=False,
+        )
+        return res.snapshot_id
+
     def _refresh_view(self, touched: list[int], batch_id: int | None) -> int:
-        """Recompute level 2 for ``touched`` buckets from the support
-        table (its own batch-id guard; see module docstring)."""
+        """Full recompute of level 2 for ``touched`` buckets from the
+        support table (rebuild path; its own batch-id guard)."""
         last = self.view.properties.get("last_batch_id", {}).get(self.GUARD)
         if batch_id is not None and last is not None and batch_id <= last:
             return self.view.snapshot_id
@@ -211,8 +260,9 @@ class DistinctRollup:
         touched = self._touched_buckets(signed)
         if not touched:
             return self.view.snapshot_id
+        groups = signed.select(*self.group_cols).distinct()
         self._level1.apply_batch(signed, batch_id=batch_id)
-        return self._refresh_view(touched, batch_id)
+        return self._merge_view(touched, groups, batch_id)
 
     def rebuild(self, source: DataFrame, batch_id: int | None = None) -> int:
         """From-scratch recompute (feed-expiry recovery); ``source``
