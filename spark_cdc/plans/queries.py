@@ -1893,7 +1893,7 @@ def ann_pq(spark, sf_dir):
     return res.select("query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
-@query(
+@retired(
     "multimodal_features",
     """
     SELECT t.range AS media_id,
@@ -2296,3 +2296,86 @@ def mixture_sample_split(spark, sf_dir):
         .withColumn("split", hash_split_col("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}))
         .select("doc_id", "lang", "sampled", "split")
     )
+
+
+@query(
+    "sft_examples_budget",
+    r"""
+    WITH raw AS (
+      SELECT concat('u', user_id) AS conv_id,
+             CAST(event_id % 20 AS INT) AS turn_idx,
+             CASE WHEN event_type IN ('click', 'purchase') THEN 'assistant'
+                  ELSE 'user' END AS role,
+             trim(repeat(event_type || ' ', CAST(event_id % 3 + 1 AS INT))) AS text,
+             ts, event_id
+      FROM events
+    ), latest AS (
+      SELECT conv_id, turn_idx, role, text FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM raw) WHERE rn = 1
+    ), base AS (
+      SELECT conv_id, turn_idx, role, text,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
+             END AS ntok
+      FROM latest
+    ), run AS (
+      SELECT *, sum(ntok) OVER (
+          PARTITION BY conv_id ORDER BY turn_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctok
+      FROM base
+    ), tgt AS (
+      SELECT conv_id, turn_idx, text AS completion, ntok AS completion_tokens,
+             ctok - ntok AS c_full
+      FROM run WHERE role = 'assistant'
+    ), kept AS (
+      SELECT g.conv_id, g.turn_idx, g.completion, g.completion_tokens, g.c_full,
+             r.turn_idx AS ctx_turn, r.role AS ctx_role, r.text AS ctx_text,
+             r.ctok, r.ntok
+      FROM tgt g JOIN run r
+        ON r.conv_id = g.conv_id AND r.turn_idx < g.turn_idx
+       AND r.ctok - r.ntok >= g.c_full - 4
+    )
+    SELECT conv_id, turn_idx,
+           string_agg(coalesce(ctx_role, '') || ': ' || coalesce(ctx_text, ''),
+                      chr(10) ORDER BY ctx_turn) AS prompt,
+           any_value(completion) AS completion,
+           CAST(any_value(c_full) - min(ctok - ntok) AS INT) AS prompt_tokens,
+           CAST(any_value(completion_tokens) AS INT) AS completion_tokens,
+           CAST(count(*) AS INT) AS n_context_turns
+    FROM kept
+    GROUP BY 1, 2
+    HAVING count(*) >= 1
+    """,
+)
+def sft_examples_budget(spark, sf_dir):
+    """T17 transcript→SFT assembly as a driver row: turns synthesized
+    from events exactly as `transcript_stitch` does (conv = user,
+    turn = event_id%20, latest version per turn), roles from the event
+    type, per-turn token counts varied by repeating the text 1-3×;
+    prompts left-truncate at whole-turn granularity to a 4-token
+    budget. The DuckDB oracle rebuilds the running-count algebra with
+    window sums + a context join and must match the one-window-pass
+    Spark plan row for row (prompt text, token accounting, context
+    arity)."""
+    from spark_cdc.operators.examples import sft_examples
+
+    ev = _t(spark, sf_dir, "events")
+    raw = ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("conv_id"),
+        (F.col("event_id") % 20).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type").isin("click", "purchase"), F.lit("assistant"))
+        .otherwise(F.lit("user"))
+        .alias("role"),
+        F.trim(
+            F.expr("repeat(concat(event_type, ' '), CAST(event_id % 3 + 1 AS INT))")
+        ).alias("text"),
+        "ts",
+        "event_id",
+    )
+    turns = latest_version_per_key_agg(
+        raw, ["conv_id", "turn_idx"], ("ts", "event_id")
+    ).select("conv_id", "turn_idx", "role", "text")
+    return sft_examples(turns, budget_tokens=4)
