@@ -89,9 +89,23 @@ class DistinctRollup:
         view: LakeTable,
         group_cols: list[str],
         value_col: str,
+        refresh: str = "merge",
     ):
         if value_col in group_cols:
             raise ValueError("value_col must not be a group column")
+        if refresh not in ("merge", "overwrite"):
+            raise ValueError("refresh must be 'merge' or 'overwrite'")
+        # 'merge' (default): recompute ONLY the batch's groups and MERGE
+        # them into the view — O(batch groups), the right shape when
+        # polls are narrow relative to the accumulated table (the
+        # steady-state CDC regime: the table grows without bound, the
+        # poll doesn't). 'overwrite': recompute every group co-bucketed
+        # with a change and blind-overwrite those view buckets — no
+        # view-side read/dedup, so it wins when nearly every group is
+        # touched every poll (small-cardinality fixtures, full-corpus
+        # recomputes). Both are exactly-once under the same guard key
+        # and can be switched between polls.
+        self.refresh = refresh
         if (
             support.bucket_column != group_cols[0]
             or view.bucket_column != group_cols[0]
@@ -121,6 +135,7 @@ class DistinctRollup:
         group_fields: list[T.StructField],
         value_field: T.StructField,
         num_buckets: int = 32,
+        refresh: str = "merge",
     ) -> "DistinctRollup":
         """Create the support/view table pair with aligned bucketing."""
         group_cols = [f.name for f in group_fields]
@@ -150,7 +165,9 @@ class DistinctRollup:
             bucket_column=group_cols[0],
             num_buckets=num_buckets,
         )
-        return DistinctRollup(support, view, group_cols, value_field.name)
+        return DistinctRollup(
+            support, view, group_cols, value_field.name, refresh=refresh
+        )
 
     # ------------------------------------------------------- maintenance
     def _touched_buckets(self, signed: DataFrame) -> list[int]:
@@ -262,6 +279,8 @@ class DistinctRollup:
             return self.view.snapshot_id
         groups = signed.select(*self.group_cols).distinct()
         self._level1.apply_batch(signed, batch_id=batch_id)
+        if self.refresh == "overwrite":
+            return self._refresh_view(touched, batch_id)
         return self._merge_view(touched, groups, batch_id)
 
     def rebuild(self, source: DataFrame, batch_id: int | None = None) -> int:

@@ -281,3 +281,39 @@ def test_quantile_values_exact_weighted(spark, tmp_path):
     vals2 = ["a", "b", "c", "d", "d"]
     u = {r["role"]: r for r in dr.quantile_values([0.5]).collect()}["user"]
     assert u["q0_5"] == ref_q(vals2, 0.5) == "c"
+
+
+def test_overwrite_refresh_mode_equals_merge(spark, tmp_path):
+    """Both refresh modes (group-pruned MERGE — default, wins when
+    polls are narrow vs the table — and full-bucket overwrite — wins
+    when every poll touches nearly every group) maintain the same
+    view, batch for batch, and stay exactly-once under the shared
+    guard key."""
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), PAYLOAD_SCHEMA,
+        key_columns=["conv_id", "turn_idx"], num_buckets=4,
+    )
+    drs = {}
+    for mode in ("merge", "overwrite"):
+        drs[mode] = (
+            DistinctRollup.create(
+                spark, str(tmp_path / f"s_{mode}"), str(tmp_path / f"v_{mode}"),
+                GROUP_FIELDS, VALUE_FIELD, num_buckets=4, refresh=mode,
+            ),
+            ChangeFeedConsumer(src, str(tmp_path / f"cur_{mode}")),
+        )
+    batches = [
+        [_ev(1, "c", "c1", 0, "user", "b", 1),
+         _ev(2, "c", "c2", 0, "user", "a", 1),
+         _ev(3, "c", "c3", 0, "assistant", "x", 1)],
+        [_ev(4, "d", "c2", 0, None, None, 2),          # min retraction
+         _ev(5, "c", "c4", 0, "tool", "t", 2)],
+        [_ev(6, "u", "c1", 0, "assistant", "b", 3)],    # vanish 'user'
+    ]
+    for i, rows in enumerate(batches):
+        apply_batch(src, spark.createDataFrame(rows, CHANGE_SCHEMA),
+                    batch_id=i, collect_lineage=False)
+        for mode, (dr, consumer) in drs.items():
+            assert maintain_from_feed(dr, consumer) == 1
+        assert _maintained(drs["merge"][0]) == _maintained(drs["overwrite"][0])
+        assert _maintained(drs["merge"][0]) == _scratch(src), f"batch {i}"
