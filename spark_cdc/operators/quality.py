@@ -287,3 +287,38 @@ class CharLM:
             with_id.join(scored, "_lm_rid", "left")
             .select(*cols, score_col)
         )
+
+
+def gate_changes(
+    changes: DataFrame,
+    text_col: str = "text",
+    gates: dict[str, float] | None = None,
+    op_col: str = "op",
+    delete_op: str = "d",
+) -> DataFrame:
+    """CDC-correct quality gating of a change-event stream.
+
+    Filtering change events by payload quality is NOT a row filter: an
+    update that degrades a document below the gate must REMOVE the
+    document from the serving table, not merely skip the event (a
+    skip leaves the stale good version serving forever). So upserts
+    whose post-image fails the gate are converted into deletes; real
+    deletes pass through untouched; a failing insert for a never-seen
+    key becomes a delete of an absent key, which the merge treats as a
+    no-op. A later update that lifts the document back over the gate
+    re-inserts it — the serving table always holds exactly the
+    currently-passing versions.
+
+    Pure projection over the change batch (the gate metrics are the
+    same fused JVM expressions as :func:`quality_gates`); plug it in
+    front of ``apply_batch`` or inside a ``foreachBatch``.
+    """
+    gated = quality_gates(changes, text_col=text_col, gates=gates)
+    flipped = gated.withColumn(
+        op_col,
+        F.when(
+            (F.col(op_col) != F.lit(delete_op)) & ~F.col("keep"),
+            F.lit(delete_op),
+        ).otherwise(F.col(op_col)),
+    )
+    return flipped.select(*changes.columns)

@@ -526,3 +526,52 @@ def test_mixture_sample_frozen_rates(spark):
     got = mixture_sample(docs.select("doc_id", "lang").unionByName(alien),
                          "lang", "doc_id", rates=frozen)
     assert got.where(F.col("lang") == "xx").collect()[0]["sampled"] == 0
+
+
+def test_gate_changes_cdc_semantics(spark, tmp_path):
+    """Quality gating of a change stream must be op-correct: a
+    degrading update DELETES the doc from the serving table (skipping
+    the event would leave the stale good version serving), and a later
+    improving update re-inserts it."""
+    from pyspark.sql import types as T
+
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.lake.table import LakeTable
+    from spark_cdc.operators.quality import gate_changes
+
+    good = ("the quick brown fox jumps over a lazy dog and then it sits "
+            "on that hill to rest in peace for an hour")
+    spam = "spam " * 25
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ])
+    table = LakeTable.create(spark, str(tmp_path / "t"), schema,
+                             key_columns=["doc_id"], num_buckets=4)
+
+    def env(rows, i, op):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return df.select(
+            F.col("doc_id").alias("lsn"), F.lit(i).cast("long").alias("op_seq"),
+            F.lit(op).alias("op"), "doc_id", "text",
+            F.timestamp_seconds(F.lit(i)).alias("ts"),
+        )
+
+    # batch 0: one good doc, one spam doc -> only the good one lands
+    apply_batch(table, gate_changes(env([(1, good), (2, spam)], 0, "c")),
+                batch_id=0, collect_lineage=False)
+    assert {r["doc_id"] for r in table.read().collect()} == {1}
+    # batch 1: doc 1 degrades to spam -> must DISAPPEAR from the table
+    apply_batch(table, gate_changes(env([(1, spam)], 1, "u")),
+                batch_id=1, collect_lineage=False)
+    assert table.read().count() == 0
+    # batch 2: doc 2 improves -> re-inserted
+    apply_batch(table, gate_changes(env([(2, good)], 2, "u")),
+                batch_id=2, collect_lineage=False)
+    assert {r["doc_id"] for r in table.read().collect()} == {2}
+    # batch 3: genuine delete passes through
+    apply_batch(table, gate_changes(env([(2, None)], 3, "d")),
+                batch_id=3, collect_lineage=False)
+    assert table.read().count() == 0
