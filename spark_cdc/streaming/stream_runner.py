@@ -49,6 +49,7 @@ class StreamRunner:
         source_id: str = "stream",
         max_files_per_trigger: int | None = None,
         normalize: dict | None = None,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
         on_batch: Callable[[int, object], None] | None = None,
         quarantine=None,
         mode: str = "cow",
@@ -63,6 +64,12 @@ class StreamRunner:
         self.source_id = source_id
         self.max_files_per_trigger = max_files_per_trigger
         self.normalize = normalize
+        # DataFrame -> DataFrame hook over the WHOLE change batch before
+        # the merge — for transforms `normalize`'s per-column map can't
+        # express, e.g. op rewrites (quality gate_changes turns failing
+        # upserts into deletes) or multi-column derivations. Must be
+        # deterministic: a redelivered batch replays through it.
+        self.transform = transform
         self.on_batch = on_batch
         self.quarantine = quarantine
         self.mode = mode
@@ -85,6 +92,8 @@ class StreamRunner:
         # any raised exception prevents the checkpoint from advancing
         # → the batch is redelivered (C11 discipline); the merge-side
         # batch-id guard then keeps table state exactly-once
+        if self.transform is not None:
+            batch_df = self.transform(batch_df)
         res = apply_batch(
             self.table,
             batch_df,

@@ -317,3 +317,46 @@ def test_stream_ingest_pii_scrub_equals_batch(spark, tmp_path):
     assert got.where(F.col("text").contains("@mail.example.com")).count() == 0
     assert got.where(F.col("text").contains("<EMAIL>")).count() == got.count()
     assert got.where(F.col("text").contains("<IP>")).count() == got.count()
+
+
+def test_stream_ingest_quality_gate_equals_batch(spark, tmp_path):
+    """Quality gating at stream ingest via the runner's transform
+    hook: failing post-images become deletes inside every micro-batch
+    (gate_changes), so the streamed serving table holds exactly the
+    currently-passing documents — and equals a batch replay through
+    the same transform."""
+    from spark_cdc.cdc.apply import apply_batch
+    from spark_cdc.operators.quality import DEFAULT_GATES, gate_changes, quality_gates
+
+    log = generate_change_log(spark, n_events=2000, n_convs=40, seed=37,
+                              pct_delete=0.05)
+    src = str(tmp_path / "changelog")
+    log.coalesce(2).write.mode("append").parquet(src)
+    # fixture turn-texts are 5-7 words; gate at 6 so the fixture
+    # actually straddles so both verdicts occur
+    gates = {**DEFAULT_GATES, "min_words": 6, "min_mean_word_len": 0.0,
+             "max_dup_word_frac": 1.0, "max_top_bigram_frac": 1.0,
+             "min_stopword_frac": 0.0}
+    tf = lambda df: gate_changes(df, gates=gates)  # noqa: E731
+
+    streamed = LakeTable.create(
+        spark, str(tmp_path / "stream_t"), PAYLOAD_SCHEMA,
+        key_columns=KEY_COLUMNS, num_buckets=4,
+    )
+    StreamRunner(spark, streamed, src, str(tmp_path / "ckpt"),
+                 transform=tf, max_files_per_trigger=1).run_available()
+
+    batch = LakeTable.create(
+        spark, str(tmp_path / "batch_t"), PAYLOAD_SCHEMA,
+        key_columns=KEY_COLUMNS, num_buckets=4,
+    )
+    apply_batch(batch, tf(spark.read.parquet(src)), batch_id=0,
+                collect_lineage=False)
+
+    assert_df_equal(streamed.read(), batch.read(), KEY_COLUMNS)
+    got = streamed.read()
+    n = got.count()
+    ungated = replay_changes_df(spark.read.parquet(src), KEY_COLUMNS).count()
+    assert 0 < n < ungated  # gate actually dropped something
+    # every surviving row passes the gate
+    assert quality_gates(got, gates=gates).where(~F.col("keep")).count() == 0
