@@ -158,6 +158,23 @@ def main(argv: list[str] | None = None) -> int:
                         help="quantile = equal-frequency cells (tight zones "
                         "under skew, one approxQuantile pass)")
 
+    p_clean = sub.add_parser(
+        "corpus-clean",
+        help="one-shot corpus hygiene: quality-gate filter + PII scrub "
+        "over a parquet corpus, written back as parquet",
+    )
+    p_clean.add_argument("--input", required=True, help="parquet path/dir")
+    p_clean.add_argument("--output", required=True)
+    p_clean.add_argument("--text-col", default="text")
+    p_clean.add_argument("--no-gate", action="store_true",
+                         help="skip the quality-gate filter")
+    p_clean.add_argument("--no-pii", action="store_true",
+                         help="skip PII redaction")
+    p_clean.add_argument("--gates", default=None,
+                         help="JSON dict overriding DEFAULT_GATES thresholds")
+    p_clean.add_argument("--dedup-lines", action="store_true",
+                         help="also remove repeated lines within each doc")
+
     p_maint = sub.add_parser(
         "maintain",
         help="manifest-only maintenance planner (+ --apply to execute): "
@@ -233,6 +250,31 @@ def main(argv: list[str] | None = None) -> int:
             out["compacted_buckets"] = compact(table)
         stats = expire_snapshots(table, keep_last=args.keep_snapshots)
         print(json.dumps({**out, **stats}))
+        return 0
+
+    if args.cmd == "corpus-clean":
+        from pyspark.sql import functions as F
+
+        from spark_cdc.functions.pii import redact_pii
+        from spark_cdc.operators.quality import (
+            dedup_lines,
+            filter_quality,
+        )
+
+        df = spark.read.parquet(args.input)
+        n_in = df.count()
+        out = df
+        if args.dedup_lines:
+            out = dedup_lines(out, text_col=args.text_col)
+        if not args.no_gate:
+            gates = json.loads(args.gates) if args.gates else None
+            out = filter_quality(out, text_col=args.text_col, gates=gates)
+        if not args.no_pii:
+            out = out.withColumn(args.text_col, redact_pii(F.col(args.text_col)))
+        out.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        print(json.dumps({"rows_in": n_in, "rows_out": n_out,
+                          "kept_frac": round(n_out / n_in, 4) if n_in else None}))
         return 0
 
     if args.cmd == "maintain":

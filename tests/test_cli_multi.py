@@ -80,3 +80,35 @@ def test_stream_multi_cli(spark, tmp_path):
     assert {r["source_id"] for r in m.select("source_id").distinct().collect()} >= {
         "stream:chats", "stream:audit"
     }
+
+
+def test_corpus_clean_cli(spark, tmp_path, capsys):
+    """corpus-clean: gate + scrub a parquet corpus in one shot; counts
+    reported, output readable, no raw identifiers survive."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from spark_cdc.__main__ import main
+
+    src = str(tmp_path / "corpus")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("text", F.concat(F.col("text"), F.lit(" ping x@y.co")))
+        .write.parquet(src)
+    )
+    out = str(tmp_path / "clean")
+    assert main(["corpus-clean", "--input", src, "--output", out]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_in"] == 500 and 0 < stats["rows_out"] < 500
+    got = spark.read.parquet(out)
+    assert got.where(F.col("text").contains("x@y.co")).count() == 0
+    assert got.where(F.col("text").contains("<EMAIL>")).count() == got.count()
+    # --no-gate keeps every row; --no-pii keeps identifiers
+    out2 = str(tmp_path / "clean2")
+    assert main(["corpus-clean", "--input", src, "--output", out2,
+                 "--no-gate", "--no-pii"]) == 0
+    s2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["rows_out"] == 500
+    assert spark.read.parquet(out2).where(
+        F.col("text").contains("x@y.co")).count() == 500
