@@ -140,6 +140,19 @@ def apply_batch_routed(
 
     base = source_id or "routed"
     names = list(tables.keys())
+    # one routed batch feeds N+1 consumers (the unknown-topic check and
+    # every per-table filter+merge); persist it so the upstream plan —
+    # typically a parse_kafka_frames JSON projection — evaluates once
+    # instead of once per consumer. Skipped when the caller already
+    # persisted. Unpersisted before returning/raising.
+    _we_persisted = False
+    try:
+        lvl = changes.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            changes = changes.persist()
+            _we_persisted = True
+    except Exception:  # pragma: no cover — e.g. streaming micro-batch DF
+        pass
     unknown = changes.where(
         F.col(table_col).isNull() | ~F.col(table_col).isin(names)
     )
@@ -172,13 +185,19 @@ def apply_batch_routed(
         )
 
     failed: dict[str, Exception] = {}
-    with ThreadPoolExecutor(max_workers=max(1, min(max_parallel, len(tables)))) as ex:
-        futures = {name: ex.submit(_one, name, tbl) for name, tbl in tables.items()}
-        for name, fut in futures.items():
-            try:
-                results[name] = fut.result()
-            except Exception as e:  # noqa: BLE001 — isolate per-table failure
-                failed[name] = e
+    try:
+        with ThreadPoolExecutor(
+            max_workers=max(1, min(max_parallel, len(tables)))
+        ) as ex:
+            futures = {name: ex.submit(_one, name, tbl) for name, tbl in tables.items()}
+            for name, fut in futures.items():
+                try:
+                    results[name] = fut.result()
+                except Exception as e:  # noqa: BLE001 — isolate per-table failure
+                    failed[name] = e
+    finally:
+        if _we_persisted:
+            changes.unpersist()
     if failed:
         raise RoutedApplyError(failed, [n for n in results if n in tables])
     return results

@@ -31,6 +31,8 @@ for bit-exact oracle parity with sequential-fold engines.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -106,6 +108,91 @@ def cosine_topk(
     )
 
 
+def _hash_ordered_sample(
+    vectors: DataFrame, id_col: str, vec_col: str, sample_size: int
+) -> np.ndarray:
+    """Deterministic bounded training sample: the ``sample_size`` rows
+    with the smallest ``xxhash64(id)`` values as a float64 matrix in
+    ascending-hash order — the exact rows AND row order of
+    ``orderBy(xxhash64(id)).limit(n).collect()``, fetched without
+    streaming the full vector payload through the driver. The
+    TakeOrdered form ships every partition's top-n WITH the dim-wide
+    arrays through row serialization (at 100k × d768 that is the whole
+    ~600 MB table, per training call); here a hash-only top-n
+    (8 bytes/row, column-pruned scan) finds the n-th smallest hash and
+    one filtered scan collects just the winning rows as Arrow batches.
+    Hash ties at the cut keep scan order — with 64-bit hashes over
+    distinct ids a tie is ~n²/2⁶⁴, and the previous merge order was
+    equally arbitrary there."""
+    h = F.xxhash64(F.col(id_col)).alias("_h")
+    top = vectors.select(h).orderBy("_h").limit(sample_size).collect()
+    if not top:
+        raise ValueError("cannot train on an empty vector table")
+    cut = top[-1]["_h"]
+    pdf = (
+        vectors.select(h, F.col(vec_col).cast("array<double>").alias("v"))
+        .where(F.col("_h") <= F.lit(cut))
+        .toPandas()
+    )
+    pdf = pdf.sort_values("_h", kind="stable").head(sample_size)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+
+
+def _blas_thread_cap(n: int = 1):
+    """Context manager capping OpenBLAS threads inside an explicitly
+    threaded numpy region. Oversubscription (16 worker threads × the
+    BLAS pool each gemm spawns) measured 2.5× SLOWER than flat 1-thread
+    BLAS × 16 workers on the PQ trainer. gemm results are
+    thread-count-invariant (each output element's K-accumulation runs
+    sequentially in one thread), so this is a pure scheduling knob.
+    No-ops quietly when the runtime control symbol is absent."""
+    import contextlib
+    import ctypes
+    import glob
+
+    @contextlib.contextmanager
+    def _cm():
+        set_n = get_n = None
+        try:
+            lib_dir = os.path.join(os.path.dirname(np.__file__), "..", "numpy.libs")
+            for lib in glob.glob(os.path.join(lib_dir, "*openblas*.so*")):
+                d = ctypes.CDLL(lib)
+                for suffix in ("64_", "_64_", ""):
+                    f = getattr(d, f"openblas_set_num_threads{suffix}", None)
+                    if f is not None:
+                        set_n = f
+                        get_n = getattr(d, f"openblas_get_num_threads{suffix}", None)
+                        break
+                if set_n is not None:
+                    break
+        except Exception:
+            set_n = None
+        if set_n is None:
+            yield
+            return
+        prev = int(get_n()) if get_n is not None else 0
+        set_n(int(n))
+        try:
+            yield
+        finally:
+            if prev > 0:
+                set_n(prev)
+
+    return _cm()
+
+
+def _member_slices(assign: np.ndarray, n_cent: int):
+    """(order, bounds) such that ``order[bounds[j]:bounds[j+1]]`` are
+    the row indices assigned to centroid ``j`` IN ORIGINAL ROW ORDER
+    (stable argsort) — so ``X[members].mean(axis=0)`` is bit-identical
+    to the boolean-mask form ``X[assign == j].mean(axis=0)`` (same
+    operand sequence, same pairwise summation) at O(n log n) total
+    instead of O(n·k) mask scans per Lloyd iteration."""
+    order = np.argsort(assign, kind="stable")
+    bounds = np.searchsorted(assign[order], np.arange(n_cent + 1))
+    return order, bounds
+
+
 def _planes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
     """Deterministic hyperplane tensor (tables, bits, dim): same planes
     on every executor and every run — seeded PCG64, no RNG state to
@@ -151,8 +238,13 @@ def hyperplane_lsh_buckets(
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("sigs", sig(F.col("v")))
+    # posexplode_outer: the inner form lets the optimizer push an
+    # inferred `size(sigs) > 0` filter below this projection, which
+    # re-evaluates the signature matmul UDF a second time over the
+    # whole corpus (guide §4.4). sigs is fixed arity == tables, so the
+    # outer form emits identical rows.
     return v.select(
-        id_col, "v", F.posexplode("sigs").alias("tbl", "bucket")
+        id_col, "v", F.posexplode_outer("sigs").alias("tbl", "bucket")
     )
 
 
@@ -178,21 +270,17 @@ def train_ivf_centroids(
     """
     import numpy as np
 
-    rows = (
-        vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(sample_size)
-        .collect()
-    )
-    M = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    M = _hash_ordered_sample(vectors, id_col, vec_col, sample_size)
     M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cent = M[rng.choice(len(M), size=min(n_lists, len(M)), replace=False)]
     for _ in range(iters):
         sims = M @ cent.T  # (n, k) cosine (rows unit-norm)
         assign = sims.argmax(axis=1)
+        order, bounds = _member_slices(assign, len(cent))
+        Ms = M[order]  # one gather; per-centroid members are views
         for j in range(len(cent)):
-            members = M[assign == j]
+            members = Ms[bounds[j]:bounds[j + 1]]
             if len(members):
                 c = members.mean(axis=0)
                 cent[j] = c / max(np.linalg.norm(c), 1e-12)
@@ -349,7 +437,12 @@ def ann_topk_lsh(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q"),
     )
-    cand = cand_ids.join(vv, "vec_id").join(F.broadcast(qq), "query_id")
+    # candidate ids are O(queries × collisions) — the small side by the
+    # same contract that lets the query side broadcast. Joining them
+    # broadcast keeps the corpus-side vector re-read UNSHUFFLED (one
+    # scan, map-side hash probe); the default sort-merge plan shuffled
+    # every dim-wide vector by vec_id just to keep a few thousand.
+    cand = vv.join(F.broadcast(cand_ids), "vec_id").join(F.broadcast(qq), "query_id")
     if score_arrow:
         cos = cosine_udf()(F.col("v"), F.col("q"))
     else:
@@ -469,30 +562,53 @@ def train_pq_codebooks(
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    from concurrent.futures import ThreadPoolExecutor
+
     sub = dim // m
-    rows = (
-        vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(sample_size)
-        .collect()
-    )
-    M = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    M = _hash_ordered_sample(vectors, id_col, vec_col, sample_size)
     M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     k = min(n_codes, len(M))
     books = np.zeros((m, n_codes, sub))
+    # init pass stays SERIAL so the rng draw sequence (one choice per
+    # subspace, in order) is unchanged; training below consumes no rng
+    subs, inits = [], []
     for j in range(m):
-        X = M[:, j * sub:(j + 1) * sub]
-        cent = X[rng.choice(len(X), size=k, replace=False)]
+        X = np.ascontiguousarray(M[:, j * sub:(j + 1) * sub])
+        subs.append(X)
+        inits.append(X[rng.choice(len(X), size=k, replace=False)])
+
+    def _train_one(j: int) -> np.ndarray:
+        # Lloyd over one subspace. The per-centroid member means are
+        # vectorized with one segmented reduce over the stably-sorted
+        # member matrix (deterministic sequential accumulation) — the
+        # per-centroid np.mean loop was 122,880 GIL-bound Python calls
+        # per training run, which also made subspace threading useless.
+        X, cent = subs[j], inits[j]
         for _ in range(iters):
             # min-L2 assignment: argmax(x·c − ‖c‖²/2), one matmul
             aff = X @ cent.T - 0.5 * np.einsum("ij,ij->i", cent, cent)[None, :]
             assign = aff.argmax(axis=1)
-            for c in range(len(cent)):
-                members = X[assign == c]
-                if len(members):
-                    cent[c] = members.mean(axis=0)
-        books[j, :k] = cent
+            order, bounds = _member_slices(assign, len(cent))
+            counts = np.diff(bounds)
+            nz = counts > 0
+            if nz.any():
+                Xs = X[order]
+                starts = np.minimum(bounds[:-1], len(Xs) - 1)
+                sums = np.add.reduceat(Xs, starts, axis=0)
+                cent[nz] = sums[nz] / counts[nz][:, None]
+        return cent
+
+    # subspaces are independent after init; every hot op (gemm, argmax,
+    # argsort, gather, reduceat) releases the GIL, so threads scale
+    workers = min(m, os.cpu_count() or 1, 16)
+    if workers > 1:
+        with _blas_thread_cap(1), ThreadPoolExecutor(workers) as ex:
+            for j, cent in enumerate(ex.map(_train_one, range(m))):
+                books[j, :k] = cent
+    else:
+        for j in range(m):
+            books[j, :k] = _train_one(j)
     return books
 
 
@@ -515,7 +631,10 @@ def pq_encode_udf(codebooks: np.ndarray):
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         codes = np.empty((len(M), m), dtype=np.int16)
         for j in range(m):
-            aff = M[:, j * sub:(j + 1) * sub] @ B[j].T - half_sq[j][None, :]
+            # contiguous copy: strided-view gemm falls off the fast
+            # BLAS path (bitwise-identical result, verified)
+            Xj = np.ascontiguousarray(M[:, j * sub:(j + 1) * sub])
+            aff = Xj @ B[j].T - half_sq[j][None, :]
             codes[:, j] = aff.argmax(axis=1).astype(np.int16)
         return pd.Series([row.tolist() for row in codes])
 
@@ -635,7 +754,9 @@ def ann_topk_pq(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q"),
     )
-    cand = short.join(v, "vec_id").join(F.broadcast(q), "query_id")
+    # the shortlist (queries × shortlist rows) is broadcast so the raw
+    # vector table streams through the re-rank join without a shuffle
+    cand = v.join(F.broadcast(short), "vec_id").join(F.broadcast(q), "query_id")
     if score_arrow:
         cos = cosine_udf()(F.col("v"), F.col("q"))
     else:
@@ -647,6 +768,42 @@ def ann_topk_pq(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
     )
+
+
+def ivfpq_encode_udf(centroids, codebooks: np.ndarray):
+    """Fused IVF list assignment + PQ encode in ONE pandas UDF:
+    ``embedding → struct(list_id, codes)``. The separate
+    :func:`ivf_assign_udf` + :func:`pq_encode_udf` pair stacks and
+    unit-normalizes every Arrow batch twice and ships the dim-wide
+    input column to Python once per UDF; the fused form does each once
+    per batch. Per-row results are identical: same normalize, same
+    matmuls, same ``argsort(-sims)`` tie-breaking as
+    :func:`ivf_assign_udf` (so an index built fused agrees with one
+    built from the separate UDFs)."""
+    C = np.asarray(centroids, dtype=np.float64).T  # (dim, k)
+    B = np.ascontiguousarray(codebooks)
+    m, _n_codes, sub = B.shape
+    half_sq = 0.5 * np.einsum("jkc,jkc->jk", B, B)  # (m, n_codes)
+
+    @F.pandas_udf("struct<list_id:int, codes:array<smallint>>")
+    def _enc(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"list_id": pd.Series([], dtype="int32"),
+                                 "codes": pd.Series([], dtype=object)})
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ C  # (n, k)
+        lists = np.argsort(-sims, axis=1)[:, :1].astype(np.int32)[:, 0]
+        codes = np.empty((len(M), m), dtype=np.int16)
+        for j in range(m):
+            Xj = np.ascontiguousarray(M[:, j * sub:(j + 1) * sub])
+            aff = Xj @ B[j].T - half_sq[j][None, :]
+            codes[:, j] = aff.argmax(axis=1).astype(np.int16)
+        return pd.DataFrame(
+            {"list_id": lists, "codes": [row.tolist() for row in codes]}
+        )
+
+    return _enc
 
 
 def ann_topk_ivfpq(
@@ -706,11 +863,13 @@ def ann_topk_ivfpq(
     Qm = np.stack([np.asarray(v, dtype=np.float64) for _, v in qrows])
 
     # skinny index rows: (vec_id, list_id, codes) — built in one pass
+    # with the fused assign+encode UDF (one stack/normalize per batch)
     vcast = F.col(vec_col).cast("array<double>")
+    _enc = ivfpq_encode_udf(centroids, codebooks)(vcast)
     index = vectors.select(
         F.col(id_col).alias("vec_id"),
-        ivf_assign_udf(centroids, nprobe=1)(vcast)[0].alias("list_id"),
-        pq_encode_udf(codebooks)(vcast).alias("codes"),
+        _enc["list_id"].alias("list_id"),
+        _enc["codes"].alias("codes"),
     )
     q = (
         queries.select(
@@ -739,7 +898,8 @@ def ann_topk_ivfpq(
     qfull = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q")
     )
-    rer = short.join(v, "vec_id").join(F.broadcast(qfull), "query_id")
+    # broadcast the shortlist: the raw table is scanned once, unshuffled
+    rer = v.join(F.broadcast(short), "vec_id").join(F.broadcast(qfull), "query_id")
     if score_arrow:
         cos = cosine_udf()(F.col("v"), F.col("q"))
     else:
@@ -770,10 +930,11 @@ def ivfpq_write_partitioned(
     n · (8 + 2m) bytes (≈24 GB at 10^9, m=8) vs ≈6 TB of raw dim-768
     float64 vectors."""
     vcast = F.col(vec_col).cast("array<double>")
+    enc = ivfpq_encode_udf(centroids, codebooks)(vcast)
     idx = vectors.select(
         F.col(id_col).alias("vec_id"),
-        ivf_assign_udf(centroids, nprobe=1)(vcast)[0].alias("list_id"),
-        pq_encode_udf(codebooks)(vcast).alias("codes"),
+        enc["list_id"].alias("list_id"),
+        enc["codes"].alias("codes"),
     ).repartition("list_id")
     idx.write.partitionBy("list_id").mode("overwrite").parquet(path)
 
@@ -840,7 +1001,8 @@ def ann_topk_ivfpq_partitioned(
     qfull = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q")
     )
-    rer = short.join(v, "vec_id").join(F.broadcast(qfull), "query_id")
+    # broadcast the shortlist: the raw table is scanned once, unshuffled
+    rer = v.join(F.broadcast(short), "vec_id").join(F.broadcast(qfull), "query_id")
     if score_arrow:
         cos = cosine_udf()(F.col("v"), F.col("q"))
     else:

@@ -362,9 +362,17 @@ def minhash_band_buckets(
 
 
 def _explode_buckets(bb: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    # posexplode_outer, deliberately: the inner form makes the optimizer
+    # infer `size(buckets) > 0` and push it below the parallelize
+    # repartition, where it re-evaluates the whole signature UDF a
+    # second time per side (guide §4.4 duplication — measured 2× the
+    # ArrowEvalPython nodes in the plan). The bucket array is fixed
+    # arity ≥ 1 (F.array of the band hashes), so outer vs inner emit
+    # identical rows; a hypothetical null array yields null band/bucket
+    # keys, which no equi-join ever matches.
     return bb.select(
         F.col(id_col).alias("_id"),
-        F.posexplode("buckets").alias("band", "bucket"),
+        F.posexplode_outer("buckets").alias("band", "bucket"),
     )
 
 

@@ -69,7 +69,7 @@ def words_expr(c: Column) -> Column:
     return F.array_remove(F.split(F.regexp_replace(t, r"\s+", " "), " "), "")
 
 
-def _metrics(ws: str) -> dict[str, Column]:
+def _metrics(ws: str, bg: str = "_qg_bg") -> dict[str, Column]:
     """Metric columns over a prepared token-array column name ``ws``.
 
     String-built expressions because slice/zip_with/aggregate lambdas
@@ -89,7 +89,7 @@ def _metrics(ws: str) -> dict[str, Column]:
     # longest equal-adjacent run of the SORTED bigram array == count of
     # the most frequent bigram; a single fold, no per-doc groupBy
     top_run = (
-        "aggregate(sort_array(bg), "
+        "aggregate(sort_array(" + bg + "), "
         "named_struct('best', 0, 'cur', 0, 'prev', CAST(NULL AS STRING)), "
         "(acc, x) -> named_struct("
         "  'best', greatest(acc.best, IF(x <=> acc.prev, acc.cur + 1, 1)), "
@@ -108,8 +108,8 @@ def _metrics(ws: str) -> dict[str, Column]:
         ),
         "_bg": F.expr(bigrams),
         "top_bigram_frac": F.expr(
-            f"CASE WHEN size(bg) = 0 THEN CAST(0.0 AS DOUBLE) "
-            f"ELSE CAST({top_run} AS DOUBLE) / size(bg) END"
+            f"CASE WHEN size({bg}) = 0 THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE CAST({top_run} AS DOUBLE) / size({bg}) END"
         ),
         "stopword_frac": F.expr(
             guard(
@@ -134,12 +134,14 @@ def quality_gates(
     comparisons (and the DuckDB oracle) are representation-stable.
     """
     g = {**DEFAULT_GATES, **(gates or {})}
-    m = _metrics("ws")
-    out = df.withColumn("ws", words_expr(F.col(text_col)))
+    # collision-safe internal names: an input column named ws/bg must
+    # survive the pipeline untouched (round-6 advisory)
+    m = _metrics("_qg_ws")
+    out = df.withColumn("_qg_ws", words_expr(F.col(text_col)))
     out = out.withColumn("n_words", m["n_words"])
     out = out.withColumn("mean_word_len", F.round(m["mean_word_len"], round_to))
     out = out.withColumn("dup_word_frac", F.round(m["dup_word_frac"], round_to))
-    out = out.withColumn("bg", m["_bg"])
+    out = out.withColumn("_qg_bg", m["_bg"])
     out = out.withColumn("top_bigram_frac", F.round(m["top_bigram_frac"], round_to))
     out = out.withColumn("stopword_frac", F.round(m["stopword_frac"], round_to))
     keep = (
@@ -149,7 +151,7 @@ def quality_gates(
         & (F.col("top_bigram_frac") <= F.lit(g["max_top_bigram_frac"]))
         & (F.col("stopword_frac") >= F.lit(g["min_stopword_frac"]))
     )
-    return out.withColumn("keep", keep).drop("ws", "bg")
+    return out.withColumn("keep", keep).drop("_qg_ws", "_qg_bg")
 
 
 def filter_quality(

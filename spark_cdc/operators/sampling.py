@@ -366,7 +366,10 @@ def mixture_sample(
         "_bound",
         F.format_string(
             f"%0{precision}x",
-            F.floor(F.round("_rate", 9) * F.lit(16**precision)).cast("int"),
+            # long, not int: 16^precision overflows int32 at
+            # precision ≥ 8, nulling the bound for near-1.0 rates
+            # (round-6 advisory); %x formats longs identically
+            F.floor(F.round("_rate", 9) * F.lit(16**precision)).cast("long"),
         ),
     ).select(domain_col, "_rate", "_bound")
     h = F.substring(F.md5(F.concat(F.lit(salt), key)), 1, precision)

@@ -1345,7 +1345,10 @@ def text_profile(spark, sf_dir):
     independent column groups, each still value-checked by the oracle —
     and the fused projection is the shape a real pipeline runs anyway
     (one pass annotating documents, not four)."""
-    d = _t(spark, sf_dir, "documents")
+    # single-file corpora arrive as ONE scan partition; the per-doc
+    # regexp work would run single-threaded (measured ~4× on the bench
+    # corpus). Row-preserving, so the oracle is untouched.
+    d = dedup_ops._ensure_parallel(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -2189,7 +2192,9 @@ def corpus_quality_gates(spark, sf_dir):
     crawl-gate a training pipeline runs before dedup/tokenization."""
     from spark_cdc.operators.quality import quality_gates
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the fused per-doc fold expressions over the cluster when
+    # the corpus arrives as one file (row-preserving)
+    docs = dedup_ops._ensure_parallel(_t(spark, sf_dir, "documents"))
     return quality_gates(docs).select(
         "doc_id", "n_words", "mean_word_len", "dup_word_frac",
         "top_bigram_frac", "stopword_frac", F.col("keep").cast("int").alias("keep"),
@@ -2240,7 +2245,9 @@ def pii_redact_documents(spark, sf_dir):
     dialect drift in the patterns fails loudly."""
     from spark_cdc.functions.pii import scrub_documents
 
-    docs = _t(spark, sf_dir, "documents")
+    # parallelize the single-file scan: the regexp chain is per-doc
+    # CPU work that would otherwise run in one task (row-preserving)
+    docs = dedup_ops._ensure_parallel(_t(spark, sf_dir, "documents"))
     decorated = docs.withColumn(
         "text",
         F.concat(

@@ -154,7 +154,16 @@ class AsofEnrichRunner:
             .parquet(self.out_dir)
         )
         if self.on_batch:
-            self.on_batch(batch_id, enriched.count())
+            # count from the just-written partition — a bare parquet
+            # footer scan — instead of re-executing the whole as-of
+            # join plan (incl. its quantile job on the bucketed path)
+            # a second time per micro-batch
+            n = (
+                self.spark.read.parquet(self.out_dir)
+                .where(F.col("_batch") == int(batch_id))
+                .count()
+            )
+            self.on_batch(batch_id, n)
 
     def _reader(self):
         reader = self.spark.readStream.schema(self.schema).format(self.source_format)
