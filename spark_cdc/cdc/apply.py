@@ -140,19 +140,11 @@ def apply_batch_routed(
 
     base = source_id or "routed"
     names = list(tables.keys())
-    # one routed batch feeds N+1 consumers (the unknown-topic check and
-    # every per-table filter+merge); persist it so the upstream plan —
-    # typically a parse_kafka_frames JSON projection — evaluates once
-    # instead of once per consumer. Skipped when the caller already
-    # persisted. Unpersisted before returning/raising.
-    _we_persisted = False
-    try:
-        lvl = changes.storageLevel
-        if not (lvl.useMemory or lvl.useDisk):
-            changes = changes.persist()
-            _we_persisted = True
-    except Exception:  # pragma: no cover — e.g. streaming micro-batch DF
-        pass
+    # NOTE (round 7): persisting the parsed batch across the N+1
+    # consumers was tried and measured SLOWER (routed replay 11.5s →
+    # 16.7s): the cache fill forces a full-width JSON parse up front,
+    # while the lazy plan lets each consumer's column pruning parse
+    # only the rows/columns it routes. Left unpersisted deliberately.
     unknown = changes.where(
         F.col(table_col).isNull() | ~F.col(table_col).isin(names)
     )
@@ -185,19 +177,13 @@ def apply_batch_routed(
         )
 
     failed: dict[str, Exception] = {}
-    try:
-        with ThreadPoolExecutor(
-            max_workers=max(1, min(max_parallel, len(tables)))
-        ) as ex:
-            futures = {name: ex.submit(_one, name, tbl) for name, tbl in tables.items()}
-            for name, fut in futures.items():
-                try:
-                    results[name] = fut.result()
-                except Exception as e:  # noqa: BLE001 — isolate per-table failure
-                    failed[name] = e
-    finally:
-        if _we_persisted:
-            changes.unpersist()
+    with ThreadPoolExecutor(max_workers=max(1, min(max_parallel, len(tables)))) as ex:
+        futures = {name: ex.submit(_one, name, tbl) for name, tbl in tables.items()}
+        for name, fut in futures.items():
+            try:
+                results[name] = fut.result()
+            except Exception as e:  # noqa: BLE001 — isolate per-table failure
+                failed[name] = e
     if failed:
         raise RoutedApplyError(failed, [n for n in results if n in tables])
     return results

@@ -80,6 +80,99 @@ def compact(
     return fragmented
 
 
+def _zone_bounds_from_footers(
+    table: LakeTable, cols: list[str]
+) -> dict[str, tuple[float, float]] | None:
+    """Global [min, max] per z-order column, in the same numeric space
+    as ``zorder_compact``'s ``as_num`` (seconds for timestamps, days →
+    seconds for dates, plain float otherwise), read from the live
+    files' parquet footers on the driver — replaces one full-table
+    aggregation job per OPTIMIZE. The bounds only normalize curve
+    ranks (row content and zone maps are unaffected), so the
+    footer-derived range being marginally wider on a multi-generation
+    (MoR) table — superseded row versions count — is harmless. Returns
+    None when any live file lacks usable stats for any column (caller
+    falls back to the aggregate)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return None
+    from concurrent.futures import ThreadPoolExecutor
+
+    rels = table.selected_files()
+    if not rels:
+        return None
+
+    def one(rel: str):
+        try:
+            md = pq.read_metadata(os.path.join(table.path, rel))
+        except Exception:
+            return None
+        out = {}
+        if not md.num_row_groups:
+            return out  # empty file constrains nothing
+        schema_names = {
+            md.row_group(0).column(j).path_in_schema: j
+            for j in range(md.num_columns)
+        }
+        for c in cols:
+            j = schema_names.get(c)
+            if j is None:
+                continue  # pre-evolution file: column all-null here
+            lo = hi = None
+            for g in range(md.num_row_groups):
+                cc = md.row_group(g).column(j)
+                st = cc.statistics
+                if st is None or not st.has_min_max:
+                    return None  # stats gap → caller must aggregate
+                pt = cc.physical_type
+                lt = str(st.logical_type.type).upper()
+                try:
+                    mn, mx = st.min_raw, st.max_raw
+                    if lt == "TIMESTAMP":
+                        import json as _json
+
+                        unit = _json.loads(st.logical_type.to_json()).get(
+                            "timeUnit", "microseconds"
+                        )
+                        div = {
+                            "microseconds": 1e6,
+                            "milliseconds": 1e3,
+                            "nanoseconds": 1e9,
+                        }[unit]
+                        mn, mx = mn / div, mx / div
+                    elif lt == "DATE":
+                        mn, mx = mn * 86400.0, mx * 86400.0
+                    elif pt in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+                        mn, mx = float(mn), float(mx)
+                    else:
+                        return None  # decimals/strings: not handled here
+                except (TypeError, KeyError, ValueError):
+                    return None
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if lo is not None:
+                out[c] = (lo, hi)
+        return out
+
+    with ThreadPoolExecutor(min(8, len(rels))) as ex:
+        per_file = list(ex.map(one, rels))
+    if any(p is None for p in per_file):
+        return None
+    bounds: dict[str, tuple[float, float]] = {}
+    for p in per_file:
+        for c, (lo, hi) in p.items():
+            cur = bounds.get(c)
+            bounds[c] = (
+                (lo, hi) if cur is None else (min(cur[0], lo), max(cur[1], hi))
+            )
+    # a column with no stats in ANY file (all-null everywhere) gets the
+    # same (0, 0) degenerate range the aggregate would produce
+    for c in cols:
+        bounds.setdefault(c, (0.0, 0.0))
+    return bounds
+
+
 def zorder_compact(
     table: LakeTable,
     cols: list[str],
@@ -217,10 +310,28 @@ def zorder_compact(
     if normalization not in ("minmax", "quantile"):
         raise ValueError(f"normalization must be minmax|quantile, got {normalization!r}")
     df = table.read(include_hidden=True, resolve=True)
-    bounds = df.agg(
-        *[F.min(as_num(c)).alias(f"lo_{i}") for i, c in enumerate(cols)],
-        *[F.max(as_num(c)).alias(f"hi_{i}") for i, c in enumerate(cols)],
-    ).first()
+    # normalization bounds: prefer the driver-side footer walk (zero
+    # Spark jobs — saves one full-table pass per OPTIMIZE); strings
+    # (mixed-radix ranks need per-position char stats, computed above)
+    # and stats-gap files fall back to the aggregate
+    footer_cols = [c for c in cols if c not in string_cols]
+    fb = _zone_bounds_from_footers(table, footer_cols) if footer_cols else {}
+    if fb is None or string_cols:
+        agg_cols = cols if fb is None else string_cols
+        row = df.agg(
+            *[F.min(as_num(c)).alias(f"lo_{i}") for i, c in enumerate(agg_cols)],
+            *[F.max(as_num(c)).alias(f"hi_{i}") for i, c in enumerate(agg_cols)],
+        ).first()
+        agg_bounds = {
+            c: (row[f"lo_{i}"], row[f"hi_{i}"]) for i, c in enumerate(agg_cols)
+        }
+        if fb is None:
+            fb = agg_bounds
+        else:
+            fb.update(agg_bounds)
+    bounds = {}
+    for i, c in enumerate(cols):
+        bounds[f"lo_{i}"], bounds[f"hi_{i}"] = fb[c]
     quantile_cols = (
         [c for c in cols if c not in string_cols] if normalization == "quantile" else []
     )

@@ -350,7 +350,10 @@ def merge_changes(
                         F.lit(gen).cast("long").alias(V_GEN),
                     )
                     .withColumn(BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets))
-                    .repartition(len(touched), F.col(BUCKET_COL))
+                    .repartition(
+                        min(len(touched), max(
+                            winners.sparkSession.sparkContext.defaultParallelism, 1)),
+                        F.col(BUCKET_COL))
                 )
             else:
                 delta = build_mor_bulk_delta(
@@ -450,7 +453,10 @@ def merge_changes(
             # bucket at write time (no second exchange).
             both = both.withColumn(
                 BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets)
-            ).repartition(len(touched), F.col(BUCKET_COL))
+            ).repartition(
+                min(len(touched), max(
+                    both.sparkSession.sparkContext.defaultParallelism, 1)),
+                F.col(BUCKET_COL))
         resolved_payload = F.struct(
             *[F.col(c).alias(c) for c in user_cols if c not in keys],
             F.col("__op").alias("__op"),
@@ -572,12 +578,21 @@ def build_mor_bulk_delta_sql(
     are pytest/plan-asserted (tests/test_mor.py, tests/test_plans.py).
     """
     nb = table.num_buckets
+    # shuffle-partition count: capped at the cluster's parallelism —
+    # writing one task per bucket schedules num_buckets tiny tasks in
+    # ⌈nb/cores⌉ waves, each deserializing the ~1 MB task binary of
+    # this plan (stage metrics: 64 tasks × ~60 ms deserialize per MoR
+    # batch). partitionBy still splits the output per bucket value, so
+    # the one-file-per-bucket layout is unchanged; on a cluster whose
+    # parallelism exceeds the bucket count this is exactly the old
+    # plan.
+    np_ = min(nb, max(changes.sparkSession.sparkContext.defaultParallelism, 1))
     cols = tuple(changes.columns)
     cache_key = (
         table.path,
         tuple((f.name, f.dataType.simpleString()) for f in table.user_schema.fields),
         cols, tuple(keys), op_col, ts_col, seq_col, lsn_col, delete_op,
-        nb, table.bucket_column,
+        nb, np_, table.bucket_column,
     )
     cached = _BULK_DELTA_SQL_CACHE.get(cache_key)
     if cached is None:
@@ -605,7 +620,7 @@ def build_mor_bulk_delta_sql(
         payload_sel = ", ".join(f"w.{_bq(f.name)} AS {_bq(f.name)}" for f in nonkey)
         sql = f"""
         WITH __b AS (
-          SELECT /*+ REPARTITION({nb}, __bucket) */ * FROM (
+          SELECT /*+ REPARTITION({np_}, __bucket) */ * FROM (
             SELECT CAST(pmod(xxhash64({_bq(table.bucket_column)}), {nb}) AS INT)
                      AS __bucket, * FROM {view}
           )
@@ -656,12 +671,14 @@ def build_cow_bulk_resolved_sql(
     every batch; two temp-view registrations + one parse/analyze pass
     replace ~15 per-transformation analyses."""
     nb = table.num_buckets
+    # same adaptive shuffle-partition cap as the MoR bulk builder
+    np_ = min(nb, max(changes.sparkSession.sparkContext.defaultParallelism, 1))
     cols = tuple(changes.columns)
     cache_key = (
         table.path,
         tuple((f.name, f.dataType.simpleString()) for f in table.user_schema.fields),
         cols, tuple(keys), op_col, ts_col, seq_col, lsn_col, delete_op,
-        nb, table.bucket_column,
+        nb, np_, table.bucket_column,
     )
     cached = _COW_RESOLVE_SQL_CACHE.get(cache_key)
     if cached is None:
@@ -704,7 +721,7 @@ def build_cow_bulk_resolved_sql(
                  1 AS __src, CAST(-1 AS BIGINT) AS __gen, {lsn_c} AS __lsn
           FROM {src_view}
         ), __b AS (
-          SELECT /*+ REPARTITION({nb}, __bucket) */ * FROM (
+          SELECT /*+ REPARTITION({np_}, __bucket) */ * FROM (
             SELECT CAST(pmod(xxhash64({_bq(table.bucket_column)}), {nb}) AS INT)
                      AS __bucket, * FROM __u
           )
@@ -750,9 +767,13 @@ def build_mor_bulk_delta(
     path — raw rows compete directly, lsn breaking intra-batch ties via
     ``batch_ord``). The single-Exchange property is plan-asserted in
     tests/test_plans.py."""
+    np_ = min(
+        table.num_buckets,
+        max(src.sparkSession.sparkContext.defaultParallelism, 1),
+    )
     return (
         src.withColumn(BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets))
-        .repartition(table.num_buckets, F.col(BUCKET_COL))
+        .repartition(np_, F.col(BUCKET_COL))
         .groupBy(BUCKET_COL, *[F.col(k) for k in keys])
         .agg(F.max_by(win_payload, batch_ord).alias("w"))
         .select(

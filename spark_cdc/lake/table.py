@@ -844,37 +844,48 @@ class LakeTable:
                 return v
             return None
 
+        def one(rel: str):
+            try:
+                md = pq.read_metadata(os.path.join(self.path, rel))
+            except Exception:
+                return rel, None
+            idx = next(
+                (
+                    j
+                    for j in range(md.num_columns)
+                    if md.row_group(0).column(j).path_in_schema == col
+                ),
+                None,
+            ) if md.num_row_groups else None
+            if idx is None:
+                return rel, None
+            mins, maxs = [], []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return rel, None
+                lo, hi = safe(st.min), safe(st.max)
+                if lo is None or hi is None:
+                    return rel, None
+                mins.append(lo)
+                maxs.append(hi)
+            return rel, ([min(mins), max(maxs)] if mins else None)
+
+        rels = [rel for fl in files.values() for rel in fl]
         out: dict[str, list] = {}
-        for fl in files.values():
-            for rel in fl:
-                try:
-                    md = pq.read_metadata(os.path.join(self.path, rel))
-                except Exception:
-                    continue
-                idx = next(
-                    (
-                        j
-                        for j in range(md.num_columns)
-                        if md.row_group(0).column(j).path_in_schema == col
-                    ),
-                    None,
-                ) if md.num_row_groups else None
-                if idx is None:
-                    continue
-                mins, maxs = [], []
-                for g in range(md.num_row_groups):
-                    st = md.row_group(g).column(idx).statistics
-                    if st is None or not st.has_min_max:
-                        mins = []
-                        break
-                    lo, hi = safe(st.min), safe(st.max)
-                    if lo is None or hi is None:
-                        mins = []
-                        break
-                    mins.append(lo)
-                    maxs.append(hi)
-                if mins:
-                    out[rel] = [min(mins), max(maxs)]
+        if len(rels) > 4:
+            # footer reads are independent tiny I/O; a commit writes up
+            # to one file per bucket and the serial loop was a visible
+            # driver-side slice of every micro-batch
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(8, len(rels))) as ex:
+                results = list(ex.map(one, rels))
+        else:
+            results = [one(rel) for rel in rels]
+        for rel, rng in results:
+            if rng is not None:
+                out[rel] = rng
         return out
 
     def _collect_col_stats(

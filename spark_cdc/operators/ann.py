@@ -123,8 +123,23 @@ def _hash_ordered_sample(
     one filtered scan collects just the winning rows as Arrow batches.
     Hash ties at the cut keep scan order — with 64-bit hashes over
     distinct ids a tie is ~n²/2⁶⁴, and the previous merge order was
-    equally arbitrary there."""
+    equally arbitrary there.
+
+    Small samples keep the one-pass TakeOrdered collect: per-partition
+    top-n bounds the payload movement by sample_size × partitions, and
+    the two-pass form costs an extra Spark job that dominates at the
+    correctness-fixture scale."""
     h = F.xxhash64(F.col(id_col)).alias("_h")
+    if sample_size <= 2000:
+        rows = (
+            vectors.select(h, F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy("_h")
+            .limit(sample_size)
+            .collect()
+        )
+        if not rows:
+            raise ValueError("cannot train on an empty vector table")
+        return np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
     top = vectors.select(h).orderBy("_h").limit(sample_size).collect()
     if not top:
         raise ValueError("cannot train on an empty vector table")

@@ -310,8 +310,14 @@ def minhash_lsh_candidates(
         ),
         id_col,
     )
+    # merge-hint the self-join: both sides then shuffle identically on
+    # (band, bucket) and AQE's exchange reuse computes the signature
+    # UDF pass ONCE; the broadcast plan the optimizer otherwise picks
+    # at medium corpus sizes evaluates it on both sides (measured
+    # 1.9s → 1.2s at 5k docs, same rows). At 10^9 docs sort-merge is
+    # the only feasible strategy anyway, so the hint changes nothing.
     pairs = (
-        banded.alias("l")
+        banded.alias("l").hint("merge")
         .join(banded.alias("r"), ["band", "bucket"])
         .where(F.col("l._id") < F.col("r._id"))
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
@@ -466,9 +472,16 @@ def ngram_jaccard_pairs(
             F.array_distinct(word_ngrams(F.col(text_col), n)).alias("grams"),
         )
     )
+    # merge-hint both gram joins: the two sides shuffle the SAME
+    # semi-joined gram table on its id, so AQE's exchange reuse
+    # computes the n-gram projection once instead of once per join
+    # (measured 2.3s → 1.6s on the sf0.1 verify); without the hint the
+    # optimizer broadcast-builds each side separately.
+    ga = grams.withColumnRenamed("_id", "id_a").withColumnRenamed("grams", "ga")
+    gb = grams.withColumnRenamed("_id", "id_b").withColumnRenamed("grams", "gb")
     return (
-        candidates.join(grams.withColumnRenamed("_id", "id_a").withColumnRenamed("grams", "ga"), "id_a")
-        .join(grams.withColumnRenamed("_id", "id_b").withColumnRenamed("grams", "gb"), "id_b")
+        candidates.join(ga.hint("merge"), "id_a")
+        .join(gb.hint("merge"), "id_b")
         .withColumn(
             "jaccard",
             F.try_divide(
@@ -551,7 +564,9 @@ def simhash_near_duplicates(
         ).alias("bb"),
     ).select("_id", "simhash", "bb.band", "bb.bucket")
     return (
-        banded.alias("l")
+        # merge-hint: identical shuffles on (band, bucket) are reused at
+        # runtime, so the SimHash UDF pass runs once, not per join side
+        banded.alias("l").hint("merge")
         .join(banded.alias("r"), ["band", "bucket"])
         .where(F.col("l._id") < F.col("r._id"))
         .select(
@@ -822,7 +837,8 @@ def _embedding_near_dup_lsh(
         id_col=id_col, vec_col=vec_col,
     ).select(F.col(id_col).alias("_id"), "tbl", "bucket")
     cand = (
-        b.alias("l")
+        # merge-hint: reuse one shuffled signature pass for both sides
+        b.alias("l").hint("merge")
         .join(b.alias("r"), ["tbl", "bucket"])
         .where(F.col("l._id") < F.col("r._id"))
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))

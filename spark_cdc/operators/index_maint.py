@@ -551,6 +551,10 @@ class MaintainedProjection(_MorMaintenance):
         if got is None:
             return False
         diff, to_snap = got
+        # _changes references the diff in both union branches (project +
+        # tombstones); materialize once so the snapshot-diff join isn't
+        # executed per branch (same discipline as the BM25 poll)
+        diff = diff.localCheckpoint()
         apply_batch(
             self.table,
             self._changes(diff, to_snap),

@@ -86,6 +86,13 @@ def get_spark(
         # with object storage, tune back down only if manifests grow
         # to many thousands of files (compaction bounds that here).
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
+        # task-side output commit (v2): the v1 job-commit merges every
+        # task's directory sequentially on the driver — measurable per
+        # micro-batch when each merge writes one file per bucket. The
+        # v2 caveat (partially-committed files visible after a job
+        # failure) does not apply to the lake: readers only see files
+        # the MANIFEST commit publishes, never by listing.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -317,3 +317,47 @@ def test_overwrite_refresh_mode_equals_merge(spark, tmp_path):
             assert maintain_from_feed(dr, consumer) == 1
         assert _maintained(drs["merge"][0]) == _maintained(drs["overwrite"][0])
         assert _maintained(drs["merge"][0]) == _scratch(src), f"batch {i}"
+
+
+def test_auto_refresh_mode_flips_on_touched_fraction(spark, tmp_path):
+    """refresh='auto' (the default) must pick overwrite for wide
+    batches (most view groups touched) and merge for narrow ones —
+    while staying equal to the from-scratch aggregate either way."""
+    src, dr, consumer = _mk(spark, tmp_path)
+    assert dr.refresh == "auto"
+
+    # bootstrap batch: two groups, empty view → overwrite
+    b0 = [_ev(1, "c", "c1", 0, "user", "a", 1),
+          _ev(2, "c", "c2", 0, "assistant", "b", 1)]
+    apply_batch(src, spark.createDataFrame(b0, CHANGE_SCHEMA),
+                batch_id=0, collect_lineage=False)
+    assert maintain_from_feed(dr, consumer) == 1
+    assert dr.last_refresh_mode == "overwrite"
+    assert _maintained(dr) == _scratch(src)
+
+    # widen the view to many groups so a single-group batch is narrow
+    b1 = [_ev(10 + i, "c", f"w{i}", 0, f"role{i}", f"v{i}", 2)
+          for i in range(10)]
+    apply_batch(src, spark.createDataFrame(b1, CHANGE_SCHEMA),
+                batch_id=1, collect_lineage=False)
+    assert maintain_from_feed(dr, consumer) == 1
+    assert _maintained(dr) == _scratch(src)
+
+    # narrow batch: 1 of 12 groups touched → merge path
+    b2 = [_ev(100, "c", "c9", 0, "user", "zzz", 3)]
+    apply_batch(src, spark.createDataFrame(b2, CHANGE_SCHEMA),
+                batch_id=2, collect_lineage=False)
+    assert maintain_from_feed(dr, consumer) == 1
+    assert dr.last_refresh_mode == "merge"
+    assert _maintained(dr) == _scratch(src)
+
+    # wide batch touching every group → overwrite path
+    b3 = [_ev(200 + i, "c", f"x{i}", 0, f"role{i}", f"nv{i}", 4)
+          for i in range(10)]
+    b3 += [_ev(300, "c", "c10", 0, "user", "q", 4),
+           _ev(301, "c", "c11", 0, "assistant", "r", 4)]
+    apply_batch(src, spark.createDataFrame(b3, CHANGE_SCHEMA),
+                batch_id=3, collect_lineage=False)
+    assert maintain_from_feed(dr, consumer) == 1
+    assert dr.last_refresh_mode == "overwrite"
+    assert _maintained(dr) == _scratch(src)
