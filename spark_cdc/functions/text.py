@@ -98,15 +98,22 @@ def _marker_hits(c: Column, words: list[str]) -> Column:
 def lang_id(c: Column) -> Column:
     """Stopword-marker language ID: argmax of per-language marker hit
     counts; 'und' when nothing matches. Ties break by language-code
-    order (deterministic)."""
+    order (deterministic).
+
+    Array-argmax form: the previous nested-when tree referenced every
+    per-language ``regexp_count`` from both the ``greatest`` and its
+    own branch (~6 occurrences each in the expression tree — bloating
+    analysis/codegen and leaning on runtime subexpression elimination
+    for the regex passes); here each count appears exactly once and
+    ``array_position`` picks the FIRST maximal index, which is the
+    same first-language-wins tie-break."""
     scores = [(lang, _marker_hits(c, ws)) for lang, ws in sorted(LANG_MARKERS.items())]
-    best_score = F.greatest(*[s for _, s in scores])
-    result = F.lit("und")
-    for lang, s in reversed(scores):
-        result = F.when((best_score > 0) & (s == best_score), F.lit(lang)).otherwise(
-            result
-        )
-    return result
+    arr = F.array(*[s for _, s in scores])
+    langs = F.array(*[F.lit(lang) for lang, _ in scores])
+    best = F.array_max(arr)
+    return F.when(
+        best > 0, F.element_at(langs, F.array_position(arr, best).cast("int"))
+    ).otherwise(F.lit("und"))
 
 
 def toy_bpe_tokens(max_piece: int = 4, vocab: frozenset[str] | None = None):

@@ -61,16 +61,49 @@ def compact(
     )
     if not fragmented:
         return []
-    # resolve=True folds multi-generation delta rows to latest-version
-    df = table.read(buckets=fragmented, include_hidden=True, resolve=True)
-    if drop_tombstones:
-        df = df.filter(~F.coalesce(F.col(V_DEL), F.lit(False)))
+    # single-exchange fold (same shape as the merge fast path): shuffle
+    # raw multi-generation rows ONCE on the bucket, then resolve with
+    # groupBy(bucket, key) — bucket is a function of the key, so the
+    # grouping equals plain per-key resolution, HashPartitioning(bucket)
+    # satisfies the clustering requirement (in-place aggregate), and
+    # write tasks are already bucket-aligned. The previous form
+    # exchanged the full content twice (resolve by key, then
+    # repartition by bucket).
+    raw = table.read(buckets=fragmented, include_hidden=True, resolve=False)
+    keys = table.key_columns
     if table.bucket_column:
-        df = df.withColumn(BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets))
+        raw = raw.withColumn(
+            BUCKET_COL, bucket_expr(table.bucket_column, table.num_buckets)
+        )
     else:
-        df = df.withColumn(BUCKET_COL, F.lit(0))
-    # one file per bucket: repartition on the bucket column
-    df = df.repartition(len(fragmented), BUCKET_COL)
+        raw = raw.withColumn(BUCKET_COL, F.lit(0))
+    np_ = min(
+        len(fragmented),
+        max(raw.sparkSession.sparkContext.defaultParallelism, 1),
+    )
+    raw = raw.repartition(np_, F.col(BUCKET_COL))
+    if keys:
+        from spark_cdc.lake.table import V_GEN, V_SEQ, V_TS
+
+        payload = [c for c in raw.columns if c not in keys and c != BUCKET_COL]
+        pay = F.struct(*[F.col(c).alias(c) for c in payload])
+        ords = F.struct(
+            F.coalesce(F.col(V_TS), F.to_timestamp(F.lit("1900-01-01"))).alias("o_ts"),
+            F.coalesce(F.col(V_SEQ), F.lit(-1)).alias("o_seq"),
+            F.coalesce(F.col(V_GEN), F.lit(-1)).alias("o_gen"),
+        )
+        df = (
+            raw.groupBy(BUCKET_COL, *keys)
+            .agg(F.max_by(pay, ords).alias("_w"))
+            .select(
+                BUCKET_COL, *keys,
+                *[F.col(f"_w.{c}").alias(c) for c in payload],
+            )
+        )
+    else:
+        df = raw
+    if drop_tombstones and V_DEL in df.columns:
+        df = df.filter(~F.coalesce(F.col(V_DEL), F.lit(False)))
     table.overwrite_buckets(
         df,
         fragmented,
