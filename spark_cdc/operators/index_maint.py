@@ -811,6 +811,12 @@ class MaintainedVectorCodes(_MorMaintenance):
         dim = len(self.centroids[0])
         n_lists = len(self.centroids)
         m, n_codes, _sub = np.asarray(self.codebooks).shape
+        # swap the quantizers in only for the rebuild and ROLL BACK if
+        # it fails: a raise after the reassignment would otherwise
+        # leave this maintainer encoding future polls with the new
+        # quantizers against a table still holding old-version codes
+        # (round-6 advisory)
+        old_centroids, old_codebooks = self.centroids, self.codebooks
         self.centroids = train_ivf_centroids(
             vectors, dim, n_lists=n_lists, seed=seed,
             sample_size=sample_size, id_col=self.id_col, vec_col=self.vec_col,
@@ -819,22 +825,26 @@ class MaintainedVectorCodes(_MorMaintenance):
             vectors, dim, m=int(m), n_codes=int(n_codes), seed=seed,
             sample_size=sample_size, id_col=self.id_col, vec_col=self.vec_col,
         )
-        n, sim = self._batch_quality(vectors.select(F.col(self.vec_col)))
-        q = dict(self.table.properties.get(self.QUANT_PROP) or {})
-        new_version = int(q.get("version", 1)) + 1
-        self.rebuild(
-            vectors=vectors,
-            batch_id=None,
-            extra_properties={
-                self.QUANT_PROP: {
-                    "version": new_version,
-                    "baseline_sim": sim,
-                    "ewma_sim": sim,
-                    "last_sim": sim,
-                    "last_n": n,
-                }
-            },
-        )
+        try:
+            n, sim = self._batch_quality(vectors.select(F.col(self.vec_col)))
+            q = dict(self.table.properties.get(self.QUANT_PROP) or {})
+            new_version = int(q.get("version", 1)) + 1
+            self.rebuild(
+                vectors=vectors,
+                batch_id=None,
+                extra_properties={
+                    self.QUANT_PROP: {
+                        "version": new_version,
+                        "baseline_sim": sim,
+                        "ewma_sim": sim,
+                        "last_sim": sim,
+                        "last_n": n,
+                    }
+                },
+            )
+        except BaseException:
+            self.centroids, self.codebooks = old_centroids, old_codebooks
+            raise
         return new_version
 
     def catch_up(self) -> int:
