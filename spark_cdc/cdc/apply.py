@@ -149,6 +149,7 @@ def apply_batch_routed(
         F.col(table_col).isNull() | ~F.col(table_col).isin(names)
     )
     results: dict[str, MergeResult] = {}
+    unknown_fut = None
     if quarantine is not None:
         from spark_cdc.cdc.quarantine import REASON_COL
 
@@ -160,10 +161,6 @@ def apply_batch_routed(
             ),
         )
         quarantine.record(flagged, source_id=f"{base}:_unknown", batch_id=batch_id)
-    else:
-        n_unknown = unknown.count()
-        if n_unknown:
-            results["_unknown"] = n_unknown  # type: ignore[assignment]
 
     def _one(name: str, tbl: LakeTable) -> MergeResult:
         sub = changes.where(F.col(table_col) == name).drop(table_col)
@@ -177,13 +174,24 @@ def apply_batch_routed(
         )
 
     failed: dict[str, Exception] = {}
-    with ThreadPoolExecutor(max_workers=max(1, min(max_parallel, len(tables)))) as ex:
+    # one extra pool slot for the unknown-topic count, so it overlaps
+    # the per-table merges instead of serializing ahead of them; the
+    # count runs on the routing column alone — the projection prunes
+    # the scan to the topic bytes, no envelope JSON parse
+    pool = max(1, min(max_parallel, len(tables))) + (0 if quarantine else 1)
+    with ThreadPoolExecutor(max_workers=pool) as ex:
+        if quarantine is None:
+            unknown_fut = ex.submit(unknown.select(table_col).count)
         futures = {name: ex.submit(_one, name, tbl) for name, tbl in tables.items()}
         for name, fut in futures.items():
             try:
                 results[name] = fut.result()
             except Exception as e:  # noqa: BLE001 — isolate per-table failure
                 failed[name] = e
+        if unknown_fut is not None:
+            n_unknown = unknown_fut.result()
+            if n_unknown:
+                results["_unknown"] = n_unknown  # type: ignore[assignment]
     if failed:
         raise RoutedApplyError(failed, [n for n in results if n in tables])
     return results

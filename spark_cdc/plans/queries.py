@@ -22,6 +22,7 @@ originals are additionally covered by pytest against a DuckDB oracle
 from __future__ import annotations
 
 import os
+import weakref
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -43,8 +44,35 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+# Input-table scan plans, registered once per (session, dir, table) —
+# the DataFrame equivalent of a catalog table registration. Every
+# ``spark.read.parquet`` pays file listing + footer schema inference
+# (~80 ms); a suite run calls ``_t`` dozens of times over the same
+# static fixture dirs. The memo holds the lazy SCAN PLAN only — every
+# action still recomputes from the parquet files — and is keyed weakly
+# on the live session, so nothing survives the process. Fixture dirs
+# are immutable inputs by contract; a caller that rewrites files under
+# an ``sf_dir`` mid-session would need the fresh listing a direct
+# ``spark.read.parquet`` gives.
+_SCAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (os.path.abspath(sf_dir), name)
+    try:
+        per = _SCAN_MEMO.get(spark)
+    except TypeError:
+        per = None
+    if per is not None and key in per:
+        return per[key]
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    try:
+        _SCAN_MEMO.setdefault(spark, {})[key] = df
+    except TypeError:
+        pass
+    return df
 
 
 def query(name: str, oracle: str | None = None):
