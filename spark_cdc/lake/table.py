@@ -994,41 +994,51 @@ class LakeTable:
         except ImportError:
             return {}
 
-        out: dict[str, dict[str, list]] = {}
-        for fl in files.values():
-            for rel in fl:
-                try:
-                    md = pq.read_metadata(os.path.join(self.path, rel))
-                except Exception:
+        def one(rel: str):
+            try:
+                md = pq.read_metadata(os.path.join(self.path, rel))
+            except Exception:
+                return rel, None
+            if not md.num_row_groups:
+                return rel, None
+            name_to_idx = {
+                md.row_group(0).column(j).path_in_schema: j
+                for j in range(md.num_columns)
+            }
+            per_col: dict[str, list] = {}
+            for col in cols:
+                idx = name_to_idx.get(col)
+                if idx is None:
                     continue
-                if not md.num_row_groups:
-                    continue
-                name_to_idx = {
-                    md.row_group(0).column(j).path_in_schema: j
-                    for j in range(md.num_columns)
-                }
-                per_col: dict[str, list] = {}
-                for col in cols:
-                    idx = name_to_idx.get(col)
-                    if idx is None:
-                        continue
-                    mins, maxs = [], []
-                    for g in range(md.num_row_groups):
-                        st = md.row_group(g).column(idx).statistics
-                        if st is None or not st.has_min_max:
-                            mins = []
-                            break
-                        lo, hi = _zone_value(st.min), _zone_value(st.max)
-                        if lo is None or hi is None:
-                            mins = []
-                            break
-                        mins.append(lo)
-                        maxs.append(hi)
-                    if mins:
-                        per_col[col] = [min(mins), max(maxs)]
-                if per_col:
-                    out[rel] = per_col
-        return out
+                mins, maxs = [], []
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        mins = []
+                        break
+                    lo, hi = _zone_value(st.min), _zone_value(st.max)
+                    if lo is None or hi is None:
+                        mins = []
+                        break
+                    mins.append(lo)
+                    maxs.append(hi)
+                if mins:
+                    per_col[col] = [min(mins), max(maxs)]
+            return rel, (per_col or None)
+
+        rels = [rel for fl in files.values() for rel in fl]
+        if len(rels) > 4:
+            # same independent-tiny-I/O argument as _collect_file_stats
+            # (its threaded twin): a z-order rewrite emits
+            # files_per_bucket × buckets files and the serial footer
+            # loop was a visible driver-side slice of every OPTIMIZE
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(8, len(rels))) as ex:
+                results = list(ex.map(one, rels))
+        else:
+            results = [one(rel) for rel in rels]
+        return {rel: per_col for rel, per_col in results if per_col is not None}
 
     def _commit_next(
         self,
